@@ -1,0 +1,221 @@
+"""Catalog model + stream/property selection engine.
+
+Re-creates the reference's discovery/selection layer:
+
+- ``DiscoverStream`` (models/DiscoverStream.java:14-42): tap_stream_id,
+  stream, table_name, JSON schema, key_properties, metadata list.
+- Metadata nodes are addressed by *breadcrumb*: ``[]`` is the stream level,
+  ``["properties", col]`` a column (models/DiscoverStream.java:44-60 — the
+  property name is the breadcrumb with "properties" entries stripped).
+- Selection (services/SelectedService.java):
+  * fill(): a stream is selected when a StreamsConfiguration names it
+    exactly, or when the config's stream is null (match-all) — :13-32.
+  * property selection is a **regex full-match** over the breadcrumb
+    property name (:34-42 uses String.matches), select or deselect per
+    config flag; stream-level metadata additionally gets
+    replication-method / replication-key (:57-61).
+  * **later configurations override earlier ones** (last-writer-wins),
+    proven by SelectedServiceTest.java:104-129.
+
+Spark mapping: the selected property set becomes a plain ``df.select`` list
+(true column pruning, applied before any shuffle so Parquet/Iceberg scans
+read only selected columns), and unselected streams are filtered out of the
+demuxed message stream.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import types as T
+
+from plugin_singer_spark.schema import TypeOptions, json_schema_to_struct
+
+# models/DiscoverMetadata.java:86-90
+FULL_TABLE = "FULL_TABLE"
+INCREMENTAL = "INCREMENTAL"
+LOG_BASED = "LOG_BASED"
+REPLICATION_METHODS = (FULL_TABLE, INCREMENTAL, LOG_BASED)
+
+
+@dataclass
+class MetadataNode:
+    """One metadata entry: breadcrumb + annotation map."""
+
+    breadcrumb: list[str]
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def property_name(self) -> str | None:
+        """Breadcrumb minus 'properties' path elements; None at stream level
+        (models/DiscoverStream.java:53-59)."""
+        parts = [p for p in self.breadcrumb if p != "properties"]
+        return ".".join(parts) if parts else None
+
+    @property
+    def is_stream_level(self) -> bool:
+        return not self.breadcrumb
+
+    @property
+    def inclusion(self) -> str:
+        return str(self.metadata.get("inclusion", "available"))
+
+
+@dataclass
+class StreamsConfiguration:
+    """models/StreamsConfiguration.java:12-25 — one selection rule."""
+
+    stream: str | None = None  # None ⇒ applies to every stream
+    properties_pattern: list[str] = field(default_factory=list)  # regexes
+    selected: bool = True  # select or deselect the matched nodes
+    replication_method: str | None = None
+    replication_key: str | None = None
+
+
+@dataclass
+class DiscoverStream:
+    """models/DiscoverStream.java:14-42."""
+
+    tap_stream_id: str
+    stream: str
+    json_schema: dict[str, Any] = field(default_factory=dict)
+    key_properties: list[str] = field(default_factory=list)
+    table_name: str | None = None
+    metadata: list[MetadataNode] = field(default_factory=list)
+
+    def spark_schema(self, opts: TypeOptions | None = None) -> T.StructType:
+        return json_schema_to_struct(self.json_schema, opts)
+
+    def stream_node(self) -> MetadataNode:
+        for m in self.metadata:
+            if m.is_stream_level:
+                return m
+        node = MetadataNode(breadcrumb=[])
+        self.metadata.insert(0, node)
+        return node
+
+    def selected_properties(self) -> list[str]:
+        """Columns marked selected (or automatic inclusion), preserving the
+        JSON-schema property order — the engine's column-pruning select list."""
+        flags: dict[str, bool] = {}
+        for m in self.metadata:
+            name = m.property_name
+            if name is None:
+                continue
+            if m.inclusion == "unsupported":
+                flags[name] = False
+            elif m.inclusion == "automatic":
+                flags[name] = True
+            elif "selected" in m.metadata:
+                flags[name] = bool(m.metadata["selected"])
+        props = list((self.json_schema.get("properties") or {}).keys())
+        return [p for p in props if flags.get(p, False)]
+
+    def is_selected(self) -> bool:
+        return bool(self.stream_node().metadata.get("selected", False))
+
+    def replication(self) -> tuple[str | None, str | None]:
+        md = self.stream_node().metadata
+        return md.get("replication-method"), md.get("replication-key")
+
+
+@dataclass
+class DiscoverStreams:
+    """models/DiscoverStreams.java:8-10 — the catalog."""
+
+    streams: list[DiscoverStream] = field(default_factory=list)
+
+    def by_name(self, name: str) -> DiscoverStream | None:
+        for s in self.streams:
+            if s.stream == name or s.tap_stream_id == name:
+                return s
+        return None
+
+    def selected(self) -> list[DiscoverStream]:
+        return [s for s in self.streams if s.is_selected()]
+
+
+def _match_properties(node: MetadataNode, patterns: list[str]) -> bool:
+    """services/SelectedService.java:34-42 — regex *full match* of the
+    breadcrumb property name against any pattern."""
+    name = node.property_name
+    if name is None:
+        return False
+    return any(re.fullmatch(p, name) for p in patterns)
+
+
+def _select_stream(stream: DiscoverStream, cfg: StreamsConfiguration) -> None:
+    """services/SelectedService.java:44-68 — apply one configuration to one
+    stream: mark matched nodes selected/deselected; stream-level node also
+    gets selected + replication metadata; automatic-inclusion nodes are
+    never deselected (Singer convention: key properties always flow)."""
+    for node in stream.metadata:
+        if node.is_stream_level:
+            node.metadata["selected"] = cfg.selected
+            if cfg.replication_method:
+                node.metadata["replication-method"] = cfg.replication_method
+            if cfg.replication_key:
+                node.metadata["replication-key"] = cfg.replication_key
+        elif not cfg.properties_pattern:
+            # no property patterns ⇒ stream-wide selection applies to all
+            # available properties
+            if node.inclusion == "available":
+                node.metadata["selected"] = cfg.selected
+        elif _match_properties(node, cfg.properties_pattern):
+            if node.inclusion == "available":
+                node.metadata["selected"] = cfg.selected
+
+
+def fill(catalog: DiscoverStreams, configs: list[StreamsConfiguration]) -> DiscoverStreams:
+    """services/SelectedService.java:13-32 — apply configurations in order;
+    a config applies to a stream when ``cfg.stream is None`` or matches the
+    stream name exactly; **later configs override earlier** (list order is
+    application order, so the last writer wins per node)."""
+    for stream in catalog.streams:
+        for cfg in configs:
+            if cfg.stream is None or cfg.stream == stream.stream or cfg.stream == stream.tap_stream_id:
+                _select_stream(stream, cfg)
+    return catalog
+
+
+def catalog_from_discovery(doc: dict[str, Any]) -> DiscoverStreams:
+    """Parse a tap ``--discover`` JSON document (taps/AbstractPythonTap.java:149-163)."""
+    streams = []
+    for s in doc.get("streams", []):
+        streams.append(
+            DiscoverStream(
+                tap_stream_id=s.get("tap_stream_id") or s.get("stream"),
+                stream=s.get("stream") or s.get("tap_stream_id"),
+                json_schema=s.get("schema") or {},
+                key_properties=list(s.get("key_properties") or []),
+                table_name=s.get("table_name"),
+                metadata=[
+                    MetadataNode(breadcrumb=list(m.get("breadcrumb") or []), metadata=dict(m.get("metadata") or {}))
+                    for m in (s.get("metadata") or [])
+                ],
+            )
+        )
+    return DiscoverStreams(streams=streams)
+
+
+def infer_metadata(stream: DiscoverStream) -> DiscoverStream:
+    """Bootstrap metadata nodes for a schema that has none: one stream-level
+    node plus one per property, with inclusion=automatic for key properties
+    and unsupported for empty ``{}`` schemas (fixture `picture` column)."""
+    have = {tuple(m.breadcrumb) for m in stream.metadata}
+    if () not in have:
+        stream.metadata.insert(0, MetadataNode(breadcrumb=[]))
+    for prop, sub in (stream.json_schema.get("properties") or {}).items():
+        bc = ("properties", prop)
+        if bc in have:
+            continue
+        if not sub:
+            inclusion = "unsupported"
+        elif prop in stream.key_properties:
+            inclusion = "automatic"
+        else:
+            inclusion = "available"
+        stream.metadata.append(MetadataNode(breadcrumb=list(bc), metadata={"inclusion": inclusion}))
+    return stream

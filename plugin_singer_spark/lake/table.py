@@ -1,0 +1,309 @@
+"""LakeTable: a minimal snapshot-based table format on parquet.
+
+Layout::
+
+    <root>/
+      _meta/version-<n>.json   # immutable snapshot manifest
+      _meta/_current           # pointer: latest committed version number
+      data/<snapshot-uuid>/b=<bucket>/part-*.parquet
+
+Commit protocol (single-cluster, rename-based — the same shape as Iceberg's
+optimistic commit on a file catalog): a writer stages data files, then
+creates ``version-<n+1>.json`` with O_EXCL; whoever creates it first wins,
+a loser re-reads and retries/merges. The ``_current`` pointer is updated
+with an atomic rename. Readers never see partial state because manifests
+are immutable and data files are referenced only after they are fully
+written.
+
+Why buckets: the upsert key is ``(repo, path)`` (BASELINE input_hint).
+``bucket = pmod(xxhash64(repo, path), B)`` colocates each key in exactly one
+bucket, so a change batch touching K distinct keys requires reading and
+rewriting at most min(K, B) buckets instead of the whole table. At 100 TB /
+B=1024 that is the difference between a ~100 GB rewrite and a 100 TB one.
+Reference analog: targets upsert per primary key into indexed tables
+(targets/PipelinewisePostgres.java:160 primary_key_required,
+targets/DatamillCoPostgres.java:156 add_upsert_indexes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+CURRENT = "_current"
+
+
+def bucket_expr(key_columns: list[str], num_buckets: int):
+    """Deterministic bucket id for a key tuple — identical expression at
+    write time and merge time, so bucket pruning is exact."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_columns]), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    """One immutable table version."""
+
+    version: int
+    schema_json: str
+    key_columns: list[str]
+    num_buckets: int
+    files: dict[str, list[str]]  # bucket id (str) -> relative data file paths
+    properties: dict[str, Any] = field(default_factory=dict)
+    lineage: list[dict[str, Any]] = field(default_factory=list)
+    parent: int | None = None
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema": json.loads(self.schema_json),
+                "key_columns": self.key_columns,
+                "num_buckets": self.num_buckets,
+                "files": self.files,
+                "properties": self.properties,
+                "lineage": self.lineage,
+                "parent": self.parent,
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            version=d["version"],
+            schema_json=json.dumps(d["schema"]),
+            key_columns=d["key_columns"],
+            num_buckets=d["num_buckets"],
+            files={str(k): list(v) for k, v in d["files"].items()},
+            properties=d.get("properties", {}),
+            lineage=d.get("lineage", []),
+            parent=d.get("parent"),
+        )
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------- lifecycle ----------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_columns: list[str],
+        num_buckets: int = 16,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, META_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        t = LakeTable(spark, root)
+        if t.current_version() is None:
+            snap = Snapshot(
+                version=0,
+                schema_json=schema.json(),
+                key_columns=list(key_columns),
+                num_buckets=num_buckets,
+                files={},
+                properties=properties or {},
+                parent=None,
+            )
+            t._write_manifest(snap)
+            t._set_current(0)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, META_DIR, CURRENT))
+
+    # ---------- manifest IO ----------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, META_DIR, f"version-{version:08d}.json")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.root, META_DIR, CURRENT)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        with open(self._manifest_path(version)) as f:
+            return Snapshot.from_json(f.read())
+
+    def _write_manifest(self, snap: Snapshot) -> None:
+        path = self._manifest_path(snap.version)
+        # O_EXCL create — optimistic concurrency: first writer of version N wins.
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(snap.to_json())
+        except FileExistsError:
+            raise CommitConflict(f"version {snap.version} already committed")
+
+    def _set_current(self, version: int) -> None:
+        meta = os.path.join(self.root, META_DIR)
+        fd, tmp = tempfile.mkstemp(dir=meta, suffix=".ptr")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(meta, CURRENT))
+
+    def commit(
+        self,
+        files: dict[str, list[str]],
+        schema: T.StructType | None = None,
+        properties: dict[str, Any] | None = None,
+        lineage_record: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Commit a new snapshot. ``files`` is the COMPLETE bucket→files map
+        of the new version (callers compose untouched + rewritten buckets).
+        Properties merge over the parent's (bookmarks, epoch fences)."""
+        parent = self.snapshot()
+        props = dict(parent.properties)
+        for k, v in (properties or {}).items():
+            if isinstance(v, dict) and isinstance(props.get(k), dict):
+                props[k] = {**props[k], **v}
+            else:
+                props[k] = v
+        lineage = list(parent.lineage)
+        if lineage_record is not None:
+            lineage.append(lineage_record)
+        snap = Snapshot(
+            version=parent.version + 1,
+            schema_json=(schema or parent.schema).json(),
+            key_columns=parent.key_columns,
+            num_buckets=parent.num_buckets,
+            files=files,
+            properties=props,
+            lineage=lineage[-1000:],
+            parent=parent.version,
+        )
+        self._write_manifest(snap)
+        self._set_current(snap.version)
+        return snap
+
+    # ---------- reads ----------
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Read the table at a version (time travel), optionally pruned to a
+        bucket subset — the MERGE path reads only touched buckets."""
+        snap = self.snapshot(version)
+        schema = snap.schema
+        if buckets is None:
+            paths = [self._abs(p) for fs in snap.files.values() for p in fs]
+        else:
+            want = {str(b) for b in buckets}
+            paths = [self._abs(p) for b, fs in snap.files.items() if b in want for p in fs]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        # Explicit schema: older files may predate an ADD COLUMN evolution —
+        # parquet fills missing columns with null, matching Iceberg semantics.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_sorted_within_buckets(self, version: int | None = None) -> DataFrame:
+        return self.read(version)
+
+    # ---------- writes ----------
+
+    def write_buckets(self, df: DataFrame, schema: T.StructType) -> dict[str, list[str]]:
+        """Write ``df`` (must carry ``_bucket``) as a new immutable file set
+        partitioned by bucket; returns bucket→relative-paths. One shuffle
+        (repartition by bucket) so each bucket is written by one task as few
+        files — at cluster scale this is the parallel-load path
+        (``parallelism`` knob, targets/PipelinewisePostgres.java:155-156)."""
+        sid = uuid.uuid4().hex[:16]
+        out_rel = os.path.join(DATA_DIR, sid)
+        out_abs = self._abs(out_rel)
+        cols = [f.name for f in schema.fields]
+        n_buckets_in_df = df.select("_bucket").distinct().count()
+        (
+            df.select("_bucket", *cols)
+            .repartition(max(int(n_buckets_in_df), 1), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_abs)
+        )
+        files: dict[str, list[str]] = {}
+        for dirpath, _dirnames, filenames in os.walk(out_abs):
+            base = os.path.basename(dirpath)
+            if not base.startswith("_bucket="):
+                continue
+            b = base.split("=", 1)[1]
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    files.setdefault(b, []).append(
+                        os.path.join(out_rel, base, fn)
+                    )
+        return files
+
+    # ---------- properties: bookmarks & epoch fencing ----------
+
+    def bookmarks(self) -> dict[str, Any]:
+        return dict(self.snapshot().properties.get("bookmarks", {}))
+
+    def last_committed_epoch(self, checkpoint_id: str) -> int:
+        """Epoch fence: the engine's exactly-once primitive. foreachBatch
+        checks this before merging; a replayed epoch ≤ fence is skipped
+        (idempotent). Upgrade over the reference's save-state-after-success
+        (taps/AbstractPythonTap.java:104-106) which is only at-least-once."""
+        return int(self.snapshot().properties.get("epochs", {}).get(checkpoint_id, -1))
+
+    # ---------- maintenance ----------
+
+    def expire_snapshots(self, keep_last: int = 5) -> int:
+        """Drop manifests older than the last N and delete unreferenced data
+        dirs. (Iceberg analog: expire_snapshots.) Returns files removed."""
+        cur = self.current_version()
+        if cur is None:
+            return 0
+        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        referenced: set[str] = set()
+        for v in keep_versions:
+            try:
+                snap = self.snapshot(v)
+            except FileNotFoundError:
+                continue
+            for fs in snap.files.values():
+                for p in fs:
+                    referenced.add(p.split(os.sep)[1])  # data/<sid>/...
+        removed = 0
+        data_abs = self._abs(DATA_DIR)
+        for sid in os.listdir(data_abs):
+            if sid not in referenced:
+                shutil.rmtree(os.path.join(data_abs, sid), ignore_errors=True)
+                removed += 1
+        meta = os.path.join(self.root, META_DIR)
+        for fn in os.listdir(meta):
+            if fn.startswith("version-"):
+                v = int(fn[len("version-"):-len(".json")])
+                if v not in keep_versions:
+                    os.unlink(os.path.join(meta, fn))
+        return removed
