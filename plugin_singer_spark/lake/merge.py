@@ -40,6 +40,7 @@ from plugin_singer_spark.lake.table import LakeTable, Snapshot, bucket_expr
 
 OP_COL = "op"  # I / U / D
 DELETED_AT = "_sdc_deleted_at"
+SEQ_FIELD = "_sdc_seq"  # persisted change-sequence: cross-batch LWW fence
 
 
 def lww_dedup(df: DataFrame, key_columns: list[str], seq_col: str = "seq") -> DataFrame:
@@ -88,7 +89,7 @@ def merge_into(
     source: DataFrame,
     seq_col: str = "seq",
     op_col: str | None = OP_COL,
-    soft_delete: bool = False,
+    hard_delete: bool = False,
     skip_updates: bool = False,
     salted: bool = False,
     salt_buckets: int = 16,
@@ -98,11 +99,18 @@ def merge_into(
 ) -> Snapshot:
     """MERGE source INTO table ON key_columns, LWW by ``seq_col``.
 
-    Branch semantics (Iceberg/SQL MERGE equivalents):
-    - WHEN MATCHED AND op='D' → DELETE (hard) or UPDATE SET _sdc_deleted_at
-      (soft; targets/PipelinewisePostgres.java:158).
-    - WHEN MATCHED → UPDATE (full-row replace), unless ``skip_updates``
-      (insert-only, targets/PipelinewiseRedshift.java:268).
+    Branch semantics (Iceberg/SQL MERGE equivalents), all **sequence-
+    conditional**: a matched target row is replaced only when the source row
+    is strictly newer (persisted ``_sdc_seq``), so out-of-order micro-batches
+    and replays converge to the same state:
+    - WHEN MATCHED AND newer AND op='D' → tombstone: the row stays with
+      ``_sdc_deleted_at`` set (``hard_delete=False``, the default and the
+      reference's soft-delete mode, targets/PipelinewisePostgres.java:158) or
+      is physically removed (``hard_delete=True`` — only safe when batches
+      arrive in global seq order, else a stale insert can resurrect the key;
+      :func:`purge_deleted` physically drops old tombstones safely).
+    - WHEN MATCHED AND newer → UPDATE (full-row replace), unless
+      ``skip_updates`` (insert-only, targets/PipelinewiseRedshift.java:268).
     - WHEN NOT MATCHED AND op!='D' → INSERT.
 
     Returns the committed snapshot.
@@ -122,8 +130,13 @@ def merge_into(
     ]
     batch_schema = T.StructType(batch_data_cols)
     new_schema = evolve_schema(table_schema, batch_schema) if evolve else table_schema
-    if soft_delete and DELETED_AT not in [f.name for f in new_schema.fields]:
+    if not hard_delete and DELETED_AT not in [f.name for f in new_schema.fields]:
         new_schema = T.StructType(list(new_schema.fields) + [T.StructField(DELETED_AT, T.TimestampType(), True)])
+    if SEQ_FIELD not in [f.name for f in new_schema.fields]:
+        # the persisted change-sequence column: lets MERGE reject stale rows
+        # when micro-batches arrive out of global seq order (Paimon's
+        # sequence.field / Iceberg sequence-number analog)
+        new_schema = T.StructType(list(new_schema.fields) + [T.StructField(SEQ_FIELD, T.LongType(), True)])
     diff = schema_diff(table_schema, batch_schema) if evolve else {"added": [], "widened": []}
 
     # ---- 2. bucket assignment + pruning
@@ -134,23 +147,42 @@ def merge_into(
         src_rows = src.count()  # one job; also materializes the dedup for reuse
         touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
 
-        tgt = cast_to(table.read(buckets=touched), new_schema).withColumn("_bucket", b_expr)
+        src = src.withColumn(SEQ_FIELD, F.col(seq_col).cast("long"))
+        # tombstones participate: their seq is the anti-resurrection fence
+        tgt = cast_to(
+            table.read(buckets=touched, include_deleted=True), new_schema
+        ).withColumn("_bucket", b_expr)
 
-        # ---- 3. apply branches
-        src_keys = _broadcast_if_small(src.select(*keys), src_rows)
+        # ---- 3. apply branches (sequence-conditional: a matched target row
+        # survives unless the source row is strictly newer — ties favor the
+        # target so replaying the same event is a no-op)
+        t_seq = F.coalesce(F.col(SEQ_FIELD), F.lit(-1))
         if skip_updates:
             kept = tgt  # matched rows keep their old version (insert-only)
-            existing_keys = _broadcast_if_small(tgt.select(*keys), None)
+            existing_keys = tgt.select(*keys)
             incoming = (
                 src.filter(F.col("_op") != "D")
                 .join(existing_keys, on=keys, how="left_anti")
             )
         else:
-            kept = tgt.join(src_keys, on=keys, how="left_anti")
-            incoming = src if soft_delete else src.filter(F.col("_op") != "D")
+            src_key_seq = _broadcast_if_small(
+                src.select(*keys, F.col(SEQ_FIELD).alias("_src_seq")), src_rows
+            )
+            kept = (
+                tgt.join(src_key_seq, on=keys, how="left")
+                .filter(F.col("_src_seq").isNull() | (t_seq >= F.col("_src_seq")))
+                .drop("_src_seq")
+            )
+            tgt_key_seq = tgt.select(*keys, t_seq.alias("_tgt_seq"))
+            newer = (
+                src.join(tgt_key_seq, on=keys, how="left")
+                .filter(F.col("_tgt_seq").isNull() | (F.col(SEQ_FIELD) > F.col("_tgt_seq")))
+                .drop("_tgt_seq")
+            )
+            incoming = newer.filter(F.col("_op") != "D") if hard_delete else newer
 
-        if soft_delete:
-            # stamp the delete marker from the op column BEFORE the cast
+        if not hard_delete:
+            # stamp the tombstone marker from the op column BEFORE the cast
             # drops envelope columns; non-deletes keep a null marker
             incoming = incoming.withColumn(
                 DELETED_AT,
@@ -182,3 +214,39 @@ def merge_into(
         return table.commit(files, schema=new_schema, properties=properties, lineage_record=lineage)
     finally:
         src.unpersist()
+
+
+def purge_deleted(table: LakeTable, below_seq: int | None = None) -> Snapshot:
+    """Physically remove delete tombstones (VACUUM analog — the reference's
+    ``hard_delete=true`` applied retroactively). Safe once no event with
+    seq ≤ ``below_seq`` can still arrive (e.g. the committed bookmark);
+    ``None`` purges everything — only for strictly ordered pipelines.
+
+    Rewrites only buckets that actually contain tombstones."""
+    snap = table.snapshot()
+    schema = snap.schema
+    if DELETED_AT not in schema.fieldNames():
+        return snap
+    full = table.read(include_deleted=True).withColumn(
+        "_bucket", bucket_expr(snap.key_columns, snap.num_buckets)
+    )
+    dead = F.col(DELETED_AT).isNotNull()
+    if below_seq is not None:
+        dead = dead & (F.col(SEQ_FIELD) <= F.lit(below_seq))
+    touched = [r["_bucket"] for r in full.filter(dead).select("_bucket").distinct().collect()]
+    if not touched:
+        return snap
+    tset = {str(b) for b in touched}
+    survivors = (
+        table.read(buckets=touched, include_deleted=True)
+        .withColumn("_bucket", bucket_expr(snap.key_columns, snap.num_buckets))
+        .filter(~(dead))
+    )
+    new_files = table.write_buckets(survivors, schema)
+    files = {b: fs for b, fs in snap.files.items() if b not in tset}
+    for b, fs in new_files.items():
+        files[b] = fs
+    return table.commit(
+        files,
+        lineage_record={"mode": "purge_deleted", "below_seq": below_seq, "touched_buckets": sorted(map(int, tset))},
+    )

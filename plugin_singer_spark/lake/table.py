@@ -212,9 +212,18 @@ class LakeTable:
     def _abs(self, rel: str) -> str:
         return os.path.join(self.root, rel)
 
-    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
         """Read the table at a version (time travel), optionally pruned to a
-        bucket subset — the MERGE path reads only touched buckets."""
+        bucket subset — the MERGE path reads only touched buckets.
+
+        Delete tombstones (rows with ``_sdc_deleted_at`` set — see
+        lake/merge.py) are filtered out unless ``include_deleted``; the
+        filter is a plain parquet-pushable predicate."""
         snap = self.snapshot(version)
         schema = snap.schema
         if buckets is None:
@@ -226,7 +235,10 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         # Explicit schema: older files may predate an ADD COLUMN evolution —
         # parquet fills missing columns with null, matching Iceberg semantics.
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if not include_deleted and "_sdc_deleted_at" in df.columns:
+            df = df.filter(F.col("_sdc_deleted_at").isNull())
+        return df
 
     def read_sorted_within_buckets(self, version: int | None = None) -> DataFrame:
         return self.read(version)

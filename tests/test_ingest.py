@@ -1,0 +1,101 @@
+"""Ingest pipelines: incremental rerun contract, full-table modes, CDC
+replay parity + epoch-fenced resume, Structured Streaming driver.
+
+Reference contracts: first sync 8 records → rerun with saved state 1 record
+(inclusive edge, PipelinewiseMysqlTest.java:59-66); exclusive → 0
+(BigQueryTest.java:72-76)."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from plugin_singer_spark.datagen import BinlogSpec, expected_final_state, generate_binlog
+from plugin_singer_spark.ingest import replay_chunked, stream_binlog, sync_full_table, sync_incremental
+from plugin_singer_spark.ingest.pipeline import replay_cdc, seq_bookmark
+from plugin_singer_spark.lake import LakeTable
+
+REPOS = T.StructType([T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"), REPOS, ["repo", "path"], num_buckets=8)
+
+
+def cat_table(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("categoryid", T.IntegerType()),
+        T.StructField("categoryname", T.StringType()),
+    ])
+    return LakeTable.create(spark, str(tmp_path / "cat"), schema, ["categoryid"], num_buckets=2)
+
+
+def test_incremental_rerun_contract(spark, tmp_path):
+    t = cat_table(spark, tmp_path)
+    recs = spark.createDataFrame([(i, i, f"cat-{i}") for i in range(8)], ["seq", "categoryid", "categoryname"])
+    r1 = sync_incremental(t, recs, "categoryid", stream="category")
+    assert r1.record_count == 8
+    bm = t.bookmarks()["category"]["replication_key_value"]
+    assert bm == 7
+    # inclusive rerun: exactly the bookmark-edge row (8 -> 1, MysqlTest)
+    r2 = sync_incremental(t, recs, "categoryid", stream="category", bookmark=bm, inclusive=True)
+    assert r2.record_count == 1
+    # exclusive rerun: zero (BigQueryTest)
+    r3 = sync_incremental(t, recs, "categoryid", stream="category", bookmark=bm, inclusive=False)
+    assert r3.record_count == 0
+
+
+def test_full_table_truncate_vs_append(spark, tmp_path, table):
+    df1 = spark.createDataFrame([(1, "r", "p", "c", "py", "v1"), (2, "r", "q", "c", "py", "w1")],
+                                ["seq", "repo", "path", "commit", "lang", "content"])
+    sync_full_table(table, df1, truncate=True)
+    assert table.read().count() == 2
+    df2 = spark.createDataFrame([(3, "r", "p", "c", "py", "OVERWRITTEN")],
+                                ["seq", "repo", "path", "commit", "lang", "content"])
+    sync_full_table(table, df2, truncate=True)
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "OVERWRITTEN"
+    # append mode = insert-only merge
+    sync_full_table(table, df1, truncate=False)
+    got = {(r.repo, r.path): r.content for r in table.read().collect()}
+    assert got == {("r", "p"): "OVERWRITTEN", ("r", "q"): "w1"}
+
+
+def test_replay_parity_and_resume(spark, table):
+    spec = BinlogSpec(num_events=4000, num_repos=10, paths_per_repo=30)
+    binlog = generate_binlog(spark, spec)
+    stats = replay_chunked(table, binlog, batch_events=1000, checkpoint_id="cp")
+    assert stats.events == 4000 and stats.batches == 4
+    exp = expected_final_state(binlog).select("repo", "path", F.sha2("content", 256).alias("h"))
+    got = table.read().select("repo", "path", F.sha2("content", 256).alias("h"))
+    assert exp.exceptAll(got).count() == 0 and got.exceptAll(exp).count() == 0
+    # idempotent rerun: all epochs fenced
+    stats2 = replay_chunked(table, binlog, batch_events=1000, checkpoint_id="cp")
+    assert stats2.events == 0
+    # mid-stream resume with extended log
+    binlog2 = generate_binlog(spark, BinlogSpec(num_events=5000, num_repos=10, paths_per_repo=30))
+    stats3 = replay_chunked(table, binlog2, batch_events=1000, checkpoint_id="cp")
+    assert stats3.events == 1000
+    exp2 = expected_final_state(binlog2).select("repo", "path", F.sha2("content", 256).alias("h"))
+    got2 = table.read().select("repo", "path", F.sha2("content", 256).alias("h"))
+    assert exp2.exceptAll(got2).count() == 0 and got2.exceptAll(exp2).count() == 0
+    assert seq_bookmark(table) == 4999
+
+
+def test_replay_epoch_fence_direct(spark, table):
+    binlog = generate_binlog(spark, BinlogSpec(num_events=100, num_repos=5, paths_per_repo=10))
+    r1 = replay_cdc(table, binlog, epoch=0, checkpoint_id="x")
+    assert r1.record_count == 100
+    # same epoch replayed (e.g. task retry) -> skipped
+    r2 = replay_cdc(table, binlog, epoch=0, checkpoint_id="x")
+    assert r2.record_count == 0 and r2.metrics.get("skipped_epoch") == 0
+
+
+def test_structured_streaming_driver(spark, tmp_path, table):
+    binlog = generate_binlog(spark, BinlogSpec(num_events=2000, num_repos=8, paths_per_repo=20, num_partitions=4))
+    src_dir = str(tmp_path / "binlog")
+    binlog.write.parquet(src_dir)
+    q = stream_binlog(spark, table, src_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    q.awaitTermination(120)
+    exp = expected_final_state(binlog).select("repo", "path", F.sha2("content", 256).alias("h"))
+    got = table.read().select("repo", "path", F.sha2("content", 256).alias("h"))
+    assert exp.exceptAll(got).count() == 0 and got.exceptAll(exp).count() == 0

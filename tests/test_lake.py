@@ -1,0 +1,147 @@
+"""Lake table + MERGE semantics: LWW upsert, hard/soft delete, skip_updates,
+bucket pruning, time travel, schema evolution, snapshot expiry, epoch fence."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from plugin_singer_spark.lake import LakeTable, merge_into
+from plugin_singer_spark.lake.evolution import evolve_schema, widen
+from plugin_singer_spark.lake.merge import lww_dedup, lww_dedup_salted
+
+REPOS = T.StructType([T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]])
+COLS = "seq long, op string, repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"), REPOS, ["repo", "path"], num_buckets=4)
+
+
+def state(t):
+    return sorted((r.repo, r.path, r.content) for r in t.read().select("repo", "path", "content").collect())
+
+
+def test_upsert_lww_and_delete(spark, table):
+    b1 = spark.createDataFrame(
+        [(1, "I", "r1", "a", "c1", "py", "v1"), (2, "U", "r1", "a", "c2", "py", "v2"), (3, "I", "r2", "b", "c3", "md", "m1")],
+        COLS,
+    )
+    merge_into(table, b1)
+    assert state(table) == [("r1", "a", "v2"), ("r2", "b", "m1")]
+    b2 = spark.createDataFrame([(4, "D", "r1", "a", "c4", "py", None), (5, "U", "r2", "b", "c5", "md", "m2")], COLS)
+    merge_into(table, b2)
+    assert state(table) == [("r2", "b", "m2")]
+
+
+def test_out_of_order_lww(spark, table):
+    # late event (lower seq) must lose — no watermark needed (SURVEY §2.2)
+    merge_into(table, spark.createDataFrame([(10, "U", "r", "p", "c", "py", "new")], COLS))
+    merge_into(table, spark.createDataFrame([(5, "U", "r", "p", "c", "py", "old"), (11, "U", "r", "p", "c", "py", "newest")], COLS))
+    assert state(table) == [("r", "p", "newest")]
+
+
+def test_delete_tombstone(spark, table):
+    merge_into(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v")], COLS))
+    merge_into(table, spark.createDataFrame([(2, "D", "r", "p", "c", "py", None)], COLS))
+    assert table.read().count() == 0  # default read hides tombstones
+    rows = table.read(include_deleted=True).collect()
+    assert len(rows) == 1 and rows[0]["_sdc_deleted_at"] is not None
+    # tombstone fences resurrection: stale lower-seq insert must lose
+    merge_into(table, spark.createDataFrame([(0, "I", "r", "p", "c", "py", "stale")], COLS))
+    assert table.read().count() == 0
+    # but a genuinely newer insert revives the key
+    merge_into(table, spark.createDataFrame([(3, "I", "r", "p", "c", "py", "reborn")], COLS))
+    assert state(table) == [("r", "p", "reborn")]
+
+
+def test_purge_deleted(spark, table):
+    from plugin_singer_spark.lake.merge import purge_deleted
+
+    merge_into(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v"), (2, "I", "r", "q", "c", "py", "w")], COLS))
+    merge_into(table, spark.createDataFrame([(3, "D", "r", "p", "c", "py", None)], COLS))
+    assert table.read(include_deleted=True).count() == 2
+    purge_deleted(table, below_seq=3)
+    assert table.read(include_deleted=True).count() == 1
+    assert state(table) == [("r", "q", "w")]
+
+
+def test_skip_updates_insert_only(spark, table):
+    merge_into(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v1")], COLS))
+    merge_into(table, spark.createDataFrame([(2, "U", "r", "p", "c", "py", "v2"), (3, "I", "r", "q", "c", "py", "w")], COLS), skip_updates=True)
+    assert state(table) == [("r", "p", "v1"), ("r", "q", "w")]
+
+
+def test_bucket_pruning_untouched_files_survive(spark, table):
+    merge_into(table, spark.createDataFrame([(i, "I", f"r{i}", f"p{i}", "c", "py", f"v{i}") for i in range(20)], COLS))
+    snap1 = table.snapshot()
+    merge_into(table, spark.createDataFrame([(100, "U", "r0", "p0", "c", "py", "VV")], COLS))
+    snap2 = table.snapshot()
+    touched = snap2.lineage[-1]["touched_buckets"]
+    assert len(touched) == 1
+    for b, fs in snap1.files.items():
+        if int(b) not in touched:
+            assert snap2.files[b] == fs  # untouched buckets share files
+    assert ("r0", "p0", "VV") in state(table)
+
+
+def test_time_travel(spark, table):
+    merge_into(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v1")], COLS))
+    v1 = table.current_version()
+    merge_into(table, spark.createDataFrame([(2, "U", "r", "p", "c", "py", "v2")], COLS))
+    assert table.read(version=v1).collect()[0]["content"] == "v1"
+    assert table.read().collect()[0]["content"] == "v2"
+
+
+def test_schema_evolution_add_column(spark, table):
+    merge_into(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v")], COLS))
+    b = spark.createDataFrame([(2, "U", "r", "p", "c", "py", "v2", 7)], COLS + ", stars bigint")
+    merge_into(table, b)
+    row = table.read().collect()[0]
+    assert row["stars"] == 7
+    assert table.snapshot().lineage[-1]["schema_added"] == ["stars"]
+
+
+def test_widening():
+    assert widen(T.IntegerType(), T.LongType()) == T.LongType()
+    assert widen(T.LongType(), T.DoubleType()) == T.DoubleType()
+    assert widen(T.DecimalType(10, 2), T.DecimalType(12, 4)) == T.DecimalType(12, 4)
+    assert widen(T.DateType(), T.TimestampType()) == T.TimestampType()
+    assert widen(T.StringType(), T.IntegerType()) == T.StringType()
+    a = T.StructType([T.StructField("x", T.IntegerType())])
+    b = T.StructType([T.StructField("x", T.LongType()), T.StructField("y", T.StringType())])
+    ev = evolve_schema(a, b)
+    assert ev["x"].dataType == T.LongType() and "y" in ev.fieldNames()
+
+
+def test_lww_salted_equivalence(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("seq"),
+        F.lit("mega").alias("repo"),
+        (F.col("id") % 13).cast("string").alias("path"),
+        F.concat(F.lit("v"), F.col("id")).alias("content"),
+    )
+    plain = sorted((r.path, r.content) for r in lww_dedup(df, ["repo", "path"]).collect())
+    salted = sorted((r.path, r.content) for r in lww_dedup_salted(df, ["repo", "path"], salt_buckets=8).collect())
+    assert plain == salted
+
+
+def test_merge_salted_path(spark, table):
+    b = spark.createDataFrame([(i, "U", "mega", f"p{i % 3}", "c", "py", f"v{i}") for i in range(50)], COLS)
+    merge_into(table, b, salted=True)
+    assert state(table) == [("mega", "p0", "v48"), ("mega", "p1", "v49"), ("mega", "p2", "v47")]
+
+
+def test_expire_snapshots(spark, table):
+    for i in range(6):
+        merge_into(table, spark.createDataFrame([(i, "U", "r", "p", "c", "py", f"v{i}")], COLS))
+    before = state(table)
+    table.expire_snapshots(keep_last=2)
+    assert state(table) == before
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(1)
+
+
+def test_epoch_fence(spark, table):
+    assert table.last_committed_epoch("cp") == -1
+    merge_into(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v")], COLS), properties={"epochs": {"cp": 0}})
+    assert table.last_committed_epoch("cp") == 0
