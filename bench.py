@@ -1,0 +1,119 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: change-events/sec of the CDC replay (synthetic binlog →
+epoch-chunked, bucketed COW MERGE into the lake table) — the BASELINE.json
+north rule. The other timings cover the breadth operators (LWW window plan,
+message parse, minhash/simhash dedup, ANN top-k, scan+agg rollup).
+
+Scaling evidence (N vs 4N cores) is produced by scripts/bench_scaling.py,
+which shells out to this file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    batch_events = int(os.environ.get("BENCH_BATCH_EVENTS", "500000"))
+    num_buckets = int(os.environ.get("BENCH_BUCKETS", "64"))
+
+    from pyspark.sql import functions as F, types as T
+
+    from plugin_singer_spark.session import get_spark
+    from plugin_singer_spark.datagen import BinlogSpec, generate_binlog
+    from plugin_singer_spark.ingest.streaming import replay_chunked
+    from plugin_singer_spark.lake import LakeTable
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- headline: CDC replay through the MERGE engine ----
+    spec = BinlogSpec(
+        num_events=events,
+        num_repos=500,
+        paths_per_repo=2000,
+        num_partitions=cpus * 2,
+    )
+    binlog = generate_binlog(spark, spec)
+    # materialize the binlog to parquet first: the replay should measure the
+    # engine, not the generator (and mirrors reading a real staged binlog)
+    blog_dir = tempfile.mkdtemp(prefix="bench_binlog_")
+    t0 = time.time()
+    binlog.write.mode("overwrite").parquet(blog_dir)
+    timings["binlog_generate_write"] = round(time.time() - t0, 3)
+    binlog_pq = spark.read.parquet(blog_dir)
+
+    root = tempfile.mkdtemp(prefix="bench_table_")
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(spark, os.path.join(root, "repos"), schema, ["repo", "path"], num_buckets=num_buckets)
+
+    t0 = time.time()
+    stats = replay_chunked(table, binlog_pq, batch_events=batch_events, checkpoint_id="bench")
+    replay_sec = time.time() - t0
+    timings["cdc_replay"] = round(replay_sec, 3)
+    events_per_sec = stats.events / replay_sec if replay_sec > 0 else 0.0
+
+    # ---- breadth queries (from the driver contract, at sf_dir) ----
+    breadth = [] if os.environ.get("BENCH_ONLY_REPLAY") else [
+        "lww_final_state",
+        "message_type_counts",
+        "orders_rollup",
+        "token_stats",
+        "minhash_signatures",
+        "simhash",
+        "ann_topk",
+        "exact_dedup",
+    ]
+    qs = entry.queries()
+    for name in breadth:
+        fn = qs[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_events_per_sec",
+                "value": round(events_per_sec, 1),
+                "unit": "events/sec",
+                "elapsed_total_sec": total,
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "replay": {
+                    "events": stats.events,
+                    "batches": stats.batches,
+                    "final_rows": table.read().count(),
+                    "snapshot": table.current_version(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -144,8 +144,11 @@ def merge_into(
     op = F.col(op_col) if op_col and op_col in dedup.columns else F.lit("U")
     src = dedup.withColumn("_bucket", b_expr).withColumn("_op", op).persist()
     try:
-        src_rows = src.count()  # one job; also materializes the dedup for reuse
-        touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
+        # ONE job materializes the dedup and yields both the row count and
+        # the touched-bucket set (vs separate count + distinct jobs)
+        bucket_counts = src.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        src_rows = sum(r["n"] for r in bucket_counts)
+        touched = [r["_bucket"] for r in bucket_counts]
 
         src = src.withColumn(SEQ_FIELD, F.col(seq_col).cast("long"))
         # tombstones participate: their seq is the anti-resurrection fence
@@ -197,7 +200,7 @@ def merge_into(
         )
 
         # ---- 4. write touched buckets, compose manifest, atomic commit
-        new_files = table.write_buckets(new_bucket_content, new_schema)
+        new_files = table.write_buckets(new_bucket_content, new_schema, num_buckets_hint=len(touched))
         touched_set = {str(b) for b in touched}
         files = {b: fs for b, fs in snap.files.items() if b not in touched_set}
         for b, fs in new_files.items():

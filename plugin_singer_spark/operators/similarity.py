@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as the BASELINE brief requires:
+
+- **Brute-force cosine top-k** — the correctness baseline. Cross join of
+  queries × corpus with the query side broadcast (queries are small by
+  construction), cosine as a zip_with/aggregate fold (JVM, codegen — no
+  Python), then a per-query top-k window. Cost: |Q|×|C| — fine for |Q| in
+  the thousands against millions of rows per executor; it is also the
+  verify stage for the bucketed path.
+- **LSH-bucketed ANN (random hyperplanes)** — the 100 TB path. ``p`` sign
+  bits from deterministic pseudo-random hyperplanes → one bucket id per
+  vector; candidates join only within buckets (multi-probe via bit flips
+  for recall). Join key is a hash ⇒ balanced; cost linear + bucket-local.
+
+The hyperplanes derive from the md5-based hash64 primitive so the whole
+pipeline stays deterministic across runs/cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from plugin_singer_spark.operators.text import hash64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i — sequential left-to-right fold in float64 (cast BEFORE the
+    multiply: float32 products would round differently than the SQL oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, vec_id, cos_sim, rank).
+    Ties broken by corpus id (deterministic)."""
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int, table: int = 0) -> Column:
+    """Deterministic pseudo-random hyperplane: component d ∈ [-1, 1) derived
+    from hash64('p:<plane>:<d>'). Pure expression — identical on every
+    executor, run, and cluster size."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"p:{table}:{plane}:"), d.cast("string"))), 1, 15), 16, 10
+                ).cast("long"),
+                F.lit(2_000_000),
+            )
+            / 1_000_000.0
+            - 1.0
+        ),
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 8, table: int = 0) -> Column:
+    """Sign-bit bucket id of a vector under ``planes`` hyperplanes."""
+    bits = [
+        F.when(dot(vec, _hyperplane(dim, p, table)) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p)
+        for p in range(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 6,
+    tables: int = 8,
+    multiprobe: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k, multi-table LSH: ``tables`` independent hyperplane
+    sets; candidates share the query's bucket in ANY table (plus
+    ``multiprobe`` single-bit-flip neighbors per table), then exact cosine
+    rank within candidates. Same output schema as :func:`brute_force_topk`;
+    recall measured in tests. Candidate volume ≈ tables × (1+multiprobe) ×
+    |corpus| / 2^planes per query — tune planes up as the corpus grows."""
+    c_buckets = [
+        lsh_bucket(F.col("_cv"), dim, planes, t) + F.lit(t * (2**planes)) for t in range(tables)
+    ]
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv")).withColumn(
+        "bucket", F.explode(F.array(*c_buckets))
+    )
+    probes = []
+    for t in range(tables):
+        b0 = lsh_bucket(F.col("_qv"), dim, planes, t)
+        probes.append(b0 + F.lit(t * (2**planes)))
+        for i in range(min(multiprobe, planes)):
+            probes.append(b0.bitwiseXOR(F.lit(2**i)) + F.lit(t * (2**planes)))
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")).withColumn(
+        "bucket", F.explode(F.array(*probes))
+    )
+    scored = q.join(c, on="bucket").select(
+        "query_id", "vec_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim")
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) by cosine ≥ threshold. ``exact=True``
+    does the all-pairs join (verify/oracle path); default buckets by LSH
+    first (generator path)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if exact:
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
+    else:
+        vb = v.withColumn("bucket", lsh_bucket(F.col("v"), dim, planes))
+        a, b = vb.alias("a"), vb.alias("b")
+        pairs = a.join(b, on="bucket").filter(F.col("a.id") < F.col("b.id"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,129 @@
+"""Text analysis for training-data pipelines: tokenization, language ID,
+quality scoring, token counting, document fingerprinting.
+
+These are the engine-side additions a 100 TB corpus pipeline needs beyond
+the reference's operator set (BASELINE brief). All hot paths are built-in
+column expressions (whole-stage codegen, no Python); the shared 64-bit hash
+primitive is ``bigint(md5(x)[0:15])`` which is reproducible in ANSI SQL —
+every operator here has an exact DuckDB oracle.
+
+Determinism note: md5 rather than xxhash64 because the oracle side must
+compute the identical value; at cluster scale md5 costs ~2× xxhash64 but
+both are vectorized JVM intrinsics — swap via ``HASH64`` if parity with the
+oracle is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small fixed stopword list — shared constant with the SQL oracles.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+)
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def hash64(col: Column | str) -> Column:
+    """Deterministic 60-bit hash reproducible in DuckDB:
+    ``cast(concat('0x', substr(md5(x),1,15)) as bigint)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased alphanumeric tokens (whitespace+punct split), empties
+    dropped. Oracle: list_filter(regexp_split_to_array(lower(x), re), ...)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams — the dedup shingling unit. Built from the
+    token array with sequence+transform (no UDF)."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition features + a composite
+    quality score in [0,1] (Gopher/C4-style heuristics, simplified and
+    fully declarative)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    n_uniq = F.size(F.array_distinct(toks))
+
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(n_tok > 0, n_uniq / n_tok).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n_tok > 0, F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)) / n_tok
+    ).otherwise(F.lit(0.0))
+
+    # composite: in-range length, some stopwords, diverse vocabulary
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(uniq_ratio >= 0.3, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        uniq_ratio.alias("unique_token_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: English stopword density + ASCII-alpha ratio.
+    (Real pipelines plug fastText here; the heuristic keeps the operator
+    self-contained and oracle-checkable.) Adds ``lang_pred`` + ``lang_conf``."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_chars = F.length(t)
+    ascii_alpha = F.length(F.regexp_replace(t, "[^A-Za-z ]", ""))
+    ascii_ratio = F.when(n_chars > 0, ascii_alpha / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    pred = (
+        F.when((stop_ratio >= 0.03) & (ascii_ratio >= 0.6), F.lit("en"))
+        .when(ascii_ratio >= 0.6, F.lit("latin-other"))
+        .otherwise(F.lit("non-latin"))
+    )
+    conf = F.round(F.least(F.lit(1.0), stop_ratio * 2 + ascii_ratio * 0.5), 4)
+    return df.select("*", pred.alias("lang_pred"), conf.alias("lang_conf"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: ``fp_sha256`` over whitespace-normalized text
+    (exact-dup key) and ``fp_min_shingle`` — the minimum 64-bit shingle hash
+    (a 1-permutation MinHash, stable under small reorderings)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    sh = word_shingles(text_col, 3)
+    minh = F.array_min(F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")))
+    return df.select(
+        "*",
+        F.sha2(norm, 256).alias("fp_sha256"),
+        minh.alias("fp_min_shingle"),
+    )

@@ -1,0 +1,208 @@
+"""Operators: flatten, stream maps, file sinks, text analysis, dedup
+(exact / ngram / minhash-LSH recall / simhash), similarity (brute vs LSH
+recall), multimodal plumbing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from plugin_singer_spark.operators import dedup as dd
+from plugin_singer_spark.operators import similarity as sim
+from plugin_singer_spark.operators import text as tx
+from plugin_singer_spark.operators.flatten import flatten
+from plugin_singer_spark.operators.multimodal import (
+    attach_media_metadata,
+    extract_features,
+    frame_sample_plan,
+)
+from plugin_singer_spark.operators.streammap import apply_stream_map
+from plugin_singer_spark.sinks import write_csv_streams, write_jsonl_streams
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---- flatten / stream maps / sinks -----------------------------------------
+
+def test_flatten_depth(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": {"c": "x"}})],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("r", T.StructType([
+                T.StructField("a", T.LongType()),
+                T.StructField("b", T.StructType([T.StructField("c", T.StringType())])),
+            ])),
+        ]),
+    )
+    f1 = flatten(df, max_level=1)
+    assert set(f1.columns) == {"id", "r__a", "r__b"}
+    f2 = flatten(df, max_level=2)
+    assert set(f2.columns) == {"id", "r__a", "r__b__c"}
+    assert f2.collect()[0]["r__b__c"] == "x"
+    assert flatten(df, max_level=0).columns == ["id", "r"]
+
+
+def test_stream_map(spark):
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 5)], ["id", "name", "v"])
+    out, alias = apply_stream_map(
+        df,
+        {
+            "__filter__": "v >= config.min_v",
+            "__alias__": "renamed",
+            "name": None,  # drop
+            "v_doubled": "v * 2",  # derive
+        },
+        config={"min_v": 6},
+    )
+    rows = out.collect()
+    assert alias == "renamed"
+    assert set(out.columns) == {"id", "v", "v_doubled"}
+    assert len(rows) == 1 and rows[0]["v_doubled"] == 20
+
+
+def test_file_sinks(spark, tmp_path):
+    cat = spark.createDataFrame([(i, f"c{i}") for i in range(8)], ["id", "name"])
+    reg = spark.createDataFrame([(i,) for i in range(4)], ["rid"])
+    jp = write_jsonl_streams({"category": cat, "region": reg}, str(tmp_path / "j"))
+    lines = open(jp["category"]).read().strip().splitlines()
+    assert len(lines) == 8 and json.loads(lines[0])["name"].startswith("c")
+    assert len(open(jp["region"]).read().strip().splitlines()) == 4
+    cp = write_csv_streams({"category": cat}, str(tmp_path / "c"))
+    body = open(cp["category"]).read().strip().splitlines()
+    assert body[0] == "id,name" and len(body) == 9
+    assert os.path.basename(cp["category"]) == "category.csv"
+
+
+# ---- text ------------------------------------------------------------------
+
+def test_tokens_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, the lazy dog! It is a test of the engine."), (2, "")],
+        ["doc_id", "text"],
+    )
+    q = tx.quality_features(df, "text")
+    r = {x["doc_id"]: x for x in q.collect()}
+    assert r[1]["n_tokens"] == 14
+    assert r[1]["stopword_ratio"] > 0.2
+    assert r[2]["n_tokens"] == 0 and r[2]["quality_score"] <= 0.3
+
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a fine day for all of us"),
+         (2, "zzz qqq kkk vvv www xxx yyy"),
+         (3, "日本語のテキストです、これは英語ではありません")],
+        ["doc_id", "text"],
+    )
+    r = {x["doc_id"]: x["lang_pred"] for x in tx.language_id(df, "text").collect()}
+    assert r[1] == "en" and r[2] == "latin-other" and r[3] == "non-latin"
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha  beta\tgamma DELTA"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: (r["fp_sha256"], r["fp_min_shingle"]) for r in tx.fingerprint(df, "text").collect()}
+    assert fp[1][0] == fp[2][0]  # normalization-invariant exact fingerprint
+    assert fp[1][1] == fp[2][1]
+    assert fp[1][0] != fp[3][0]
+
+
+# ---- dedup -----------------------------------------------------------------
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "Same   TEXT"), (3, "other")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in dd.exact_dedup(df, "doc_id").collect())
+    assert kept == [1, 3]
+
+
+def test_lsh_recall_vs_exact(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.2
+        ).collect()
+    }
+    assert lsh.issubset(exact)  # verification restores precision
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "spark merges change events into lake tables with buckets"),
+         (2, "spark merges change events into lake tables with buckets quickly"),
+         (3, "completely unrelated sentence about cooking pasta at home")],
+        ["doc_id", "text"],
+    )
+    s = {r["id"]: r["simhash"] for r in dd.simhash(df, "doc_id", "text", bits=32).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(s[1], s[2]) < ham(s[1], s[3])
+
+
+# ---- similarity ------------------------------------------------------------
+
+def test_ann_lsh_recall(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.filter(F.col("vec_id") % 50 != 0)
+    exact = sim.brute_force_topk(c, q, k=5)
+    approx = sim.lsh_topk(c, q, dim=dim, k=5, planes=4, multiprobe=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall {recall}"
+
+
+def test_cosine_self_is_one(spark, emb):
+    d = emb.limit(1).select(F.round(sim.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")).first()
+    assert abs(d["c"] - 1.0) < 1e-6
+
+
+# ---- multimodal ------------------------------------------------------------
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n" + b"x" * 100)), (2, bytearray(b"RIFFxxxx"))],
+                               ["doc_id", "media"])
+    f1 = extract_features(df, "doc_id", "media", dim=8).collect()
+    f2 = extract_features(df, "doc_id", "media", dim=8).collect()
+    by = {r["doc_id"]: r for r in f1}
+    assert by[1]["n_bytes"] == 106 and len(by[1]["feature"]) == 8
+    assert sorted(map(str, f1)) == sorted(map(str, f2))  # deterministic
+    meta = {r["doc_id"]: r["media_meta"] for r in attach_media_metadata(df).collect()}
+    assert meta[1]["format"] == "png" and meta[1]["media_type"] == "image"
+    assert meta[2]["format"] == "wav" and meta[2]["media_type"] == "audio"
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"zz"))], ["doc_id", "media"])
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(df, "doc_id", "media", decode="real").collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 3500), (2, 0)], ["doc_id", "duration_ms"])
+    rows = frame_sample_plan(df, every_ms=1000).collect()
+    got = sorted((r["doc_id"], r["frame_ts_ms"]) for r in rows)
+    assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)]
