@@ -25,6 +25,7 @@ def main() -> None:
     events = int(os.environ.get("BENCH_EVENTS", "2000000"))
     batch_events = int(os.environ.get("BENCH_BATCH_EVENTS", "500000"))
     num_buckets = int(os.environ.get("BENCH_BUCKETS", "64"))
+    mode = os.environ.get("BENCH_MODE", "mor")  # mor = write-optimized replay
 
     from pyspark.sql import functions as F, types as T
 
@@ -72,7 +73,15 @@ def main() -> None:
     table = LakeTable.create(spark, os.path.join(root, "repos"), schema, ["repo", "path"], num_buckets=num_buckets)
 
     t0 = time.time()
-    stats = replay_chunked(table, binlog_pq, batch_events=batch_events, checkpoint_id="bench")
+    stats = replay_chunked(
+        table,
+        binlog_pq,
+        batch_events=batch_events,
+        checkpoint_id="bench",
+        mode=mode,
+        compact_every=8 if mode == "mor" else None,
+        final_compact=(mode == "mor"),  # compaction cost counted in the replay
+    )
     replay_sec = time.time() - t0
     timings["cdc_replay"] = round(replay_sec, 3)
     events_per_sec = stats.events / replay_sec if replay_sec > 0 else 0.0
@@ -105,6 +114,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "cpus": cpus,
                 "replay": {
+                    "mode": mode,
                     "events": stats.events,
                     "batches": stats.batches,
                     "final_rows": table.read().count(),

@@ -25,7 +25,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 from plugin_singer_spark.lake.evolution import cast_to, evolve_schema
-from plugin_singer_spark.lake.merge import merge_into
+from plugin_singer_spark.lake.merge import merge_append, merge_into
 from plugin_singer_spark.lake.table import LakeTable, bucket_expr
 
 
@@ -51,7 +51,8 @@ def sync_full_table(
     if not truncate:
         rep = merge_into(table, records, seq_col=seq_col or "seq", op_col=None, skip_updates=True)
         n = table.read().count()
-        return IngestReport(stream, n, rep.version, table.bookmarks())
+        version = rep.version if rep is not None else table.current_version()
+        return IngestReport(stream, n, version, table.bookmarks())
     schema = evolve_schema(snap.schema, records.drop(*(c for c in (seq_col, "op") if c and c in records.columns)).schema)
     data = cast_to(records, schema).withColumn("_bucket", bucket_expr(snap.key_columns, snap.num_buckets))
     files = table.write_buckets(data, schema)
@@ -110,15 +111,21 @@ def replay_cdc(
     epoch: int | None = None,
     checkpoint_id: str | None = None,
     envelope_cols: tuple[str, ...] = ("ts",),
+    mode: str = "cow",
     **merge_kwargs: Any,
 ) -> IngestReport:
     """LOG_BASED replication: replay change events in (from_seq, to_seq],
     LWW-merge them, advance the seq bookmark; optionally fence on an epoch
     for exactly-once under retries.
 
+    ``mode='cow'`` rewrites touched buckets (read-optimized); ``mode='mor'``
+    appends delta files (write-optimized — the high-churn replay path; pair
+    with lake.merge.compact).
+
     The seq-range predicate prunes at the scan (binlog parquet is naturally
     range-ordered; at cluster scale the binlog would be partitioned by seq
-    range and this becomes partition pruning)."""
+    range and this becomes partition pruning). Counts, bookmark high-water
+    mark and the commit all ride the ONE merge job (no pre-scan)."""
     # envelope-only columns (event time etc.) are not data — keep them out of
     # schema evolution; _sdc_extracted_at injection is an explicit opt-in
     ev = binlog.drop(*[c for c in envelope_cols if c in binlog.columns])
@@ -135,30 +142,36 @@ def replay_cdc(
                 stream, 0, snap.version, table.bookmarks(), {"skipped_epoch": epoch, "fence": fence}
             )
 
-    agg = ev.agg(F.count(F.lit(1)).alias("n"), F.max(seq_col).alias("hwm")).collect()[0]
-    n, hwm = agg["n"], agg["hwm"]
-    if n == 0:
-        snap = table.snapshot()
-        return IngestReport(stream, 0, snap.version, table.bookmarks())
-
-    props: dict[str, Any] = {"bookmarks": {stream: {"replication_key": seq_col, "replication_key_value": _json_safe(hwm)}}}
+    props: dict[str, Any] = {}
     if epoch is not None and checkpoint_id is not None:
         props["epochs"] = {checkpoint_id: epoch}
-    rep = merge_into(
+    merge_fn = merge_append if mode == "mor" else merge_into
+    snap = merge_fn(
         table,
         ev,
         seq_col=seq_col,
         op_col=op_col,
         properties=props,
+        bookmark_stream=stream,
         lineage_record={
-            "mode": "log_based",
+            "mode": f"log_based_{mode}",
             "stream": stream,
-            "offset_range": [from_seq, _json_safe(hwm)],
+            "offset_from": from_seq,
             "epoch": epoch,
         },
         **merge_kwargs,
     )
-    return IngestReport(stream, n, rep.version, table.bookmarks(), {"max_seq": _json_safe(hwm)})
+    if snap is None:  # empty seq range — nothing committed
+        cur = table.snapshot()
+        return IngestReport(stream, 0, cur.version, table.bookmarks())
+    rec = snap.lineage[-1]
+    return IngestReport(
+        stream,
+        int(rec.get("source_rows") or 0),
+        snap.version,
+        table.bookmarks(),
+        {"max_seq": rec.get("max_seq"), "dedup_rows": rec.get("dedup_rows")},
+    )
 
 
 def seq_bookmark(table: LakeTable, stream: str = "repos") -> int | None:

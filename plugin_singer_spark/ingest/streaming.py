@@ -46,6 +46,9 @@ def replay_chunked(
     max_batches: int | None = None,
     resume: bool = True,
     on_batch: Callable[[IngestReport], None] | None = None,
+    mode: str = "cow",
+    compact_every: int | None = None,
+    final_compact: bool = False,
     **merge_kwargs: Any,
 ) -> ReplayStats:
     """Replay the binlog in fixed seq-range micro-batches with epoch fencing.
@@ -53,7 +56,12 @@ def replay_chunked(
     Epoch i covers seqs (i*batch_events, (i+1)*batch_events]. Epoch number
     doubles as the fence value, so a re-run (same checkpoint_id) skips every
     already-committed epoch — crash anywhere, re-run, converge.
+
+    ``mode='mor'`` appends delta files per epoch (write cost O(batch), the
+    10^10-event replay shape) and compacts every ``compact_every`` epochs
+    and/or once at the end (``final_compact``) so reads stay bounded.
     """
+    from plugin_singer_spark.lake.merge import compact
     stats = ReplayStats()
     bounds = binlog.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
     if bounds["hi"] is None:
@@ -79,6 +87,7 @@ def replay_chunked(
             to_seq=to_seq,
             epoch=epoch,
             checkpoint_id=checkpoint_id,
+            mode=mode,
             **merge_kwargs,
         )
         stats.events += rep.record_count
@@ -87,6 +96,10 @@ def replay_chunked(
         if on_batch:
             on_batch(rep)
         epoch += 1
+        if mode == "mor" and compact_every and (epoch - start_epoch) % compact_every == 0:
+            compact(table, min_delta_files=max(1, compact_every))
+    if mode == "mor" and final_compact:
+        compact(table, min_delta_files=1)
     return stats
 
 

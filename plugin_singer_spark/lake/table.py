@@ -41,6 +41,9 @@ META_DIR = "_meta"
 DATA_DIR = "data"
 CURRENT = "_current"
 
+SEQ_FIELD = "_sdc_seq"  # persisted change-sequence: cross-batch LWW fence
+DELETED_AT = "_sdc_deleted_at"  # delete tombstone marker
+
 
 def bucket_expr(key_columns: list[str], num_buckets: int):
     """Deterministic bucket id for a key tuple — identical expression at
@@ -50,13 +53,19 @@ def bucket_expr(key_columns: list[str], num_buckets: int):
 
 @dataclass
 class Snapshot:
-    """One immutable table version."""
+    """One immutable table version.
+
+    ``files`` are base files (fully resolved rows); ``delta_files`` are
+    merge-on-read level-0 appends per bucket — unresolved change rows that
+    readers LWW-resolve against the base by ``_sdc_seq`` (Hudi MOR / Paimon
+    LSM analog). Compaction folds deltas into the base."""
 
     version: int
     schema_json: str
     key_columns: list[str]
     num_buckets: int
-    files: dict[str, list[str]]  # bucket id (str) -> relative data file paths
+    files: dict[str, list[str]]  # bucket id (str) -> relative base file paths
+    delta_files: dict[str, list[str]] = field(default_factory=dict)
     properties: dict[str, Any] = field(default_factory=dict)
     lineage: list[dict[str, Any]] = field(default_factory=list)
     parent: int | None = None
@@ -73,6 +82,7 @@ class Snapshot:
                 "key_columns": self.key_columns,
                 "num_buckets": self.num_buckets,
                 "files": self.files,
+                "delta_files": self.delta_files,
                 "properties": self.properties,
                 "lineage": self.lineage,
                 "parent": self.parent,
@@ -89,6 +99,7 @@ class Snapshot:
             key_columns=d["key_columns"],
             num_buckets=d["num_buckets"],
             files={str(k): list(v) for k, v in d["files"].items()},
+            delta_files={str(k): list(v) for k, v in d.get("delta_files", {}).items()},
             properties=d.get("properties", {}),
             lineage=d.get("lineage", []),
             parent=d.get("parent"),
@@ -176,13 +187,15 @@ class LakeTable:
     def commit(
         self,
         files: dict[str, list[str]],
+        delta_files: dict[str, list[str]] | None = None,
         schema: T.StructType | None = None,
         properties: dict[str, Any] | None = None,
         lineage_record: dict[str, Any] | None = None,
     ) -> Snapshot:
-        """Commit a new snapshot. ``files`` is the COMPLETE bucket→files map
-        of the new version (callers compose untouched + rewritten buckets).
-        Properties merge over the parent's (bookmarks, epoch fences)."""
+        """Commit a new snapshot. ``files``/``delta_files`` are the COMPLETE
+        maps of the new version (callers compose untouched + rewritten
+        buckets). Properties merge over the parent's (bookmarks, epoch
+        fences)."""
         parent = self.snapshot()
         props = dict(parent.properties)
         for k, v in (properties or {}).items():
@@ -199,6 +212,7 @@ class LakeTable:
             key_columns=parent.key_columns,
             num_buckets=parent.num_buckets,
             files=files,
+            delta_files={} if delta_files is None else delta_files,
             properties=props,
             lineage=lineage[-1000:],
             parent=parent.version,
@@ -221,23 +235,58 @@ class LakeTable:
         """Read the table at a version (time travel), optionally pruned to a
         bucket subset — the MERGE path reads only touched buckets.
 
+        Merge-on-read resolution: when the snapshot carries delta files
+        (unresolved change rows appended by merge_append), base and deltas
+        are unioned and LWW-resolved per key by ``_sdc_seq`` — one
+        partial-aggregated groupBy, only over buckets that have deltas.
+
         Delete tombstones (rows with ``_sdc_deleted_at`` set — see
         lake/merge.py) are filtered out unless ``include_deleted``; the
-        filter is a plain parquet-pushable predicate."""
+        filter is a plain parquet-pushable predicate on resolved buckets."""
         snap = self.snapshot(version)
         schema = snap.schema
-        if buckets is None:
-            paths = [self._abs(p) for fs in snap.files.values() for p in fs]
+        want = None if buckets is None else {str(b) for b in buckets}
+
+        def paths_of(m: dict[str, list[str]]) -> list[str]:
+            if want is None:
+                return [self._abs(p) for fs in m.values() for p in fs]
+            return [self._abs(p) for b, fs in m.items() if b in want for p in fs]
+
+        delta_buckets = {b for b, fs in snap.delta_files.items() if fs and (want is None or b in want)}
+        base_clean = {b: fs for b, fs in snap.files.items() if b not in delta_buckets}
+        base_dirty = {b: fs for b, fs in snap.files.items() if b in delta_buckets}
+
+        def read_paths(paths: list[str]) -> DataFrame:
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            # Explicit schema: older files may predate an ADD COLUMN
+            # evolution — parquet fills missing columns with null (Iceberg
+            # semantics); pre-MOR files get _sdc_seq null (= -inf).
+            from plugin_singer_spark.lake.evolution import cast_to
+
+            return cast_to(self.spark.read.schema(schema).parquet(*paths), schema)
+
+        clean = read_paths(paths_of(base_clean))
+        if delta_buckets:
+            dirty = read_paths(
+                paths_of(base_dirty) + paths_of({b: snap.delta_files[b] for b in delta_buckets})
+            )
+            data_cols = [f.name for f in schema.fields if f.name not in (SEQ_FIELD,)]
+            resolved = (
+                dirty.groupBy(*snap.key_columns)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in data_cols if c not in snap.key_columns], F.col(SEQ_FIELD)),
+                        F.coalesce(F.col(SEQ_FIELD), F.lit(-1)),
+                    ).alias("_r")
+                )
+                .select(*snap.key_columns, "_r.*")
+            )
+            df = clean.unionByName(resolved.select(*clean.columns))
         else:
-            want = {str(b) for b in buckets}
-            paths = [self._abs(p) for b, fs in snap.files.items() if b in want for p in fs]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        # Explicit schema: older files may predate an ADD COLUMN evolution —
-        # parquet fills missing columns with null, matching Iceberg semantics.
-        df = self.spark.read.schema(schema).parquet(*paths)
-        if not include_deleted and "_sdc_deleted_at" in df.columns:
-            df = df.filter(F.col("_sdc_deleted_at").isNull())
+            df = clean
+        if not include_deleted and DELETED_AT in df.columns:
+            df = df.filter(F.col(DELETED_AT).isNull())
         return df
 
     def read_sorted_within_buckets(self, version: int | None = None) -> DataFrame:

@@ -19,6 +19,8 @@ def run_level(cpus: int, events: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_EVENTS=str(events),
         BENCH_ONLY_REPLAY="1",
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+        BENCH_BATCH_EVENTS=os.environ.get("BENCH_BATCH_EVENTS", str(max(events // 4, 500_000))),
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
