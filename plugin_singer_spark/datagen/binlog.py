@@ -118,14 +118,27 @@ def expected_final_state(binlog: DataFrame) -> DataFrame:
 
 
 def binlog_to_singer_jsonl(binlog: DataFrame, stream: str = "repos") -> DataFrame:
-    """Render change events as Singer RECORD message lines (plus the ability
-    to test the JSONL parse path end-to-end). Returns (seq, line)."""
+    """Render change events as Singer RECORD message lines — the raw tap
+    artifact shape (taps/AbstractPythonTap.java:140-147). ``seq`` rides the
+    envelope (Singer tolerates extra envelope fields; unknown fields pass
+    through, taps/AbstractPythonTap.java:130-135). Returns (seq, line)."""
     rec = F.to_json(F.struct("repo", "path", "commit", "lang", "content", "op"))
     line = F.concat(
-        F.lit('{"type": "RECORD", "stream": "' + stream + '", "record": '),
+        F.lit('{"type": "RECORD", "stream": "' + stream + '", "seq": '),
+        F.col("seq").cast("string"),
+        F.lit(', "record": '),
         rec,
         F.lit(', "time_extracted": "'),
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
         F.lit('"}'),
     )
     return binlog.select("seq", line.alias("line"))
+
+
+def write_singer_jsonl(spark: SparkSession, spec: BinlogSpec, out_dir: str, stream: str = "repos") -> None:
+    """Materialize the raw JSONL tap artifact. Part files are written in
+    partition order and ``spark.range`` partitions hold contiguous seq
+    ranges, so lexically sorted file names = global seq order — file-level
+    chunking (one epoch = k files) needs no seq re-scan."""
+    binlog = generate_binlog(spark, spec)
+    binlog_to_singer_jsonl(binlog, stream).select("line").write.mode("overwrite").text(out_dir)

@@ -4,4 +4,8 @@ from plugin_singer_spark.ingest.pipeline import (  # noqa: F401
     sync_full_table,
     sync_incremental,
 )
-from plugin_singer_spark.ingest.streaming import stream_binlog, replay_chunked  # noqa: F401
+from plugin_singer_spark.ingest.streaming import (  # noqa: F401
+    replay_chunked,
+    replay_files,
+    stream_binlog,
+)

@@ -21,6 +21,8 @@ epoch and data are one atomic snapshot swap.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -97,6 +99,78 @@ def replay_chunked(
             on_batch(rep)
         epoch += 1
         if mode == "mor" and compact_every and (epoch - start_epoch) % compact_every == 0:
+            compact(table, min_delta_files=max(1, compact_every))
+    if mode == "mor" and final_compact:
+        compact(table, min_delta_files=1)
+    return stats
+
+
+def replay_files(
+    spark: SparkSession,
+    table: LakeTable,
+    src_dir: str,
+    files_per_batch: int = 8,
+    stream: str = "repos",
+    checkpoint_id: str = "files",
+    input_format: str = "parquet",
+    record_schema=None,
+    mode: str = "mor",
+    compact_every: int | None = None,
+    final_compact: bool = True,
+    resume: bool = True,
+    max_batches: int | None = None,
+    **merge_kwargs: Any,
+) -> ReplayStats:
+    """Replay a staged binlog directory in FILE-granular micro-batches: one
+    epoch reads only its own k files — zero re-scans of the full log (the
+    ``maxFilesPerTrigger`` shape, without Structured Streaming's driver).
+
+    ``input_format='jsonl'`` replays the raw Singer JSONL artifact: each
+    epoch parses the envelope (one ``json_tuple`` per line) and casts RECORD
+    payloads via ``from_json`` to ``record_schema`` — the faithful
+    tap→target pipeline (tap stdout → typed rows → MERGE), fully
+    vectorized/codegen'd. Part files are seq-ordered by construction
+    (datagen.write_singer_jsonl) but correctness does not depend on it: the
+    merge is sequence-conditional.
+
+    Epoch fencing + bookmarks commit atomically with each merge, exactly as
+    in :func:`replay_chunked`; the epoch number is the file-chunk index, so
+    resume re-derives the same chunking from the sorted file list.
+    """
+    import glob as _glob
+
+    from plugin_singer_spark.lake.merge import compact
+    from plugin_singer_spark import messages
+
+    stats = ReplayStats()
+    files = sorted(_glob.glob(os.path.join(src_dir, "part-*")))
+    if not files:
+        return stats
+    chunks = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
+    start_epoch = (table.last_committed_epoch(checkpoint_id) + 1) if resume else 0
+    for epoch in range(start_epoch, len(chunks)):
+        if max_batches is not None and stats.batches >= max_batches:
+            break
+        chunk = chunks[epoch]
+        if input_format == "parquet":
+            ev = spark.read.parquet(*chunk)
+        else:
+            lines = spark.read.text(chunk)
+            env = messages.parse_lines(lines, line_col="value", seq_from_envelope=True)
+            ev = messages.records_for_stream(env, stream, record_schema, keep_envelope=("seq",))
+        rep = replay_cdc(
+            table,
+            ev,
+            stream=stream,
+            epoch=epoch,
+            checkpoint_id=checkpoint_id,
+            mode=mode,
+            **merge_kwargs,
+        )
+        stats.events += rep.record_count
+        stats.batches += 1
+        stats.reports.append(rep)
+        if mode == "mor" and compact_every and (epoch + 1) % compact_every == 0:
             compact(table, min_delta_files=max(1, compact_every))
     if mode == "mor" and final_compact:
         compact(table, min_delta_files=1)

@@ -36,32 +36,48 @@ KNOWN_TYPES = (RECORD, SCHEMA, STATE, "ACTIVATE_VERSION", "METRIC")
 ENVELOPE_COLS = ("seq", "type", "stream", "record", "schema", "value", "time_extracted")
 
 
-def parse_lines(lines: DataFrame, line_col: str = "line", seq_col: str | None = None) -> DataFrame:
+def parse_lines(
+    lines: DataFrame,
+    line_col: str = "line",
+    seq_col: str | None = None,
+    seq_from_envelope: bool = False,
+) -> DataFrame:
     """Parse raw JSONL Singer messages into the envelope DataFrame.
 
-    ``lines`` has one string column of raw message text. If ``seq_col`` is
-    None a monotonic id is attached — fine for a single file read in order;
-    binlog parquet inputs carry an explicit ``seq`` and should pass it.
+    ``lines`` has one string column of raw message text. The change-sequence
+    comes from (in priority order) an envelope ``seq`` field
+    (``seq_from_envelope``), an explicit input column (``seq_col``), or a
+    monotonic id (single ordered file).
 
-    The payloads (record / schema / value) are kept as raw JSON strings here;
-    typed casting happens per-stream in :func:`records_for_stream` so that
-    SCHEMA evolution can re-cast in flight.
+    One ``json_tuple`` parses each line exactly once (vs one parse per
+    ``get_json_object`` call); payloads (record / schema / value) stay raw
+    JSON strings here — typed casting happens per-stream in
+    :func:`records_for_stream` so SCHEMA evolution can re-cast in flight.
     """
     df = lines
-    if seq_col is None:
-        df = df.withColumn("seq", F.monotonically_increasing_id())
-    else:
-        df = df.withColumn("seq", F.col(seq_col).cast("long"))
     line = F.col(line_col)
-    return df.select(
-        "seq",
-        F.upper(F.coalesce(F.get_json_object(line, "$.type"), F.lit("UNKNOWN"))).alias("type"),
-        F.get_json_object(line, "$.stream").alias("stream"),
-        F.get_json_object(line, "$.record").alias("record"),
-        F.get_json_object(line, "$.schema").alias("schema"),
-        F.get_json_object(line, "$.value").alias("value"),
-        F.get_json_object(line, "$.time_extracted").alias("time_extracted"),
+    parsed = df.select(
         line.alias("raw"),
+        *([] if seq_col is None or seq_from_envelope else [F.col(seq_col).cast("long").alias("_in_seq")]),
+        F.json_tuple(
+            line, "type", "stream", "record", "schema", "value", "time_extracted", "seq"
+        ).alias("type", "stream", "record", "schema", "value", "time_extracted", "_env_seq"),
+    )
+    if seq_from_envelope:
+        seq = F.col("_env_seq").cast("long")
+    elif seq_col is not None:
+        seq = F.col("_in_seq")
+    else:
+        seq = F.monotonically_increasing_id()
+    return parsed.select(
+        seq.alias("seq"),
+        F.upper(F.coalesce(F.col("type"), F.lit("UNKNOWN"))).alias("type"),
+        "stream",
+        "record",
+        "schema",
+        "value",
+        "time_extracted",
+        "raw",
     )
 
 

@@ -95,3 +95,28 @@ def test_mor_schema_evolution(spark, table):
     compact(table)
     row = table.read().collect()[0]
     assert row["stars"] == 9 and row["content"] == "v2"
+
+
+def test_jsonl_replay_files_parity_and_resume(spark, tmp_path, table):
+    import os
+    from plugin_singer_spark.datagen.binlog import write_singer_jsonl
+    from plugin_singer_spark.ingest import replay_files
+
+    spec = BinlogSpec(num_events=4000, num_repos=10, paths_per_repo=30, num_partitions=8)
+    jl = str(tmp_path / "jsonl")
+    write_singer_jsonl(spark, spec, jl)
+    rec_schema = T.StructType(list(REPOS.fields) + [T.StructField("op", T.StringType())])
+    stats = replay_files(spark, table, jl, files_per_batch=2, input_format="jsonl",
+                         record_schema=rec_schema, checkpoint_id="j", max_batches=2, final_compact=False)
+    assert stats.batches == 2
+    stats2 = replay_files(spark, table, jl, files_per_batch=2, input_format="jsonl",
+                          record_schema=rec_schema, checkpoint_id="j")
+    assert stats.events + stats2.events == 4000
+    binlog = generate_binlog(spark, spec)
+    exp = expected_final_state(binlog).select("repo", "path", F.sha2("content", 256).alias("h"))
+    got = table.read().select("repo", "path", F.sha2("content", 256).alias("h"))
+    assert exp.exceptAll(got).count() == 0 and got.exceptAll(exp).count() == 0
+    # fenced rerun is a no-op
+    stats3 = replay_files(spark, table, jl, files_per_batch=2, input_format="jsonl",
+                          record_schema=rec_schema, checkpoint_id="j")
+    assert stats3.events == 0
