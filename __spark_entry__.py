@@ -372,6 +372,28 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, exact=True)
 
 
+def q_record_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 record validation: JSON-Schema compiled to vectorized checks;
+    per-row error list + valid flag (operators/validate.py)."""
+    from plugin_singer_spark.operators.validate import validate_records
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "doc_id": {"type": "integer"},
+            "n_chars": {"type": ["null", "integer"], "minimum": 100},
+            "lang": {"type": ["null", "string"], "enum": ["en", "de", "es", "fr"]},
+            "text": {"type": ["null", "string"], "maxLength": 500},
+        },
+    }
+    v = validate_records(_t(spark, sf_dir, "documents"), schema)
+    return v.select(
+        "doc_id",
+        F.array_join(F.array_sort("_errors"), ",").alias("errors"),
+        (F.size("_errors") == 0).cast("int").alias("is_valid"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents.text bytes as a stand-in binary column
     → mapInPandas feature extraction (deterministic fake codec). Rows-only
@@ -409,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
+        "record_validation": q_record_validation,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -604,6 +627,20 @@ WHERE list_reduce(list_transform(range(1, len(a.embedding)+1),
                               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
       / (sqrt(list_reduce(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
          * sqrt(list_reduce(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) >= 0.35""",
+        "record_validation": """
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(list_filter([
+         CASE WHEN doc_id IS NULL THEN 'doc_id:required' END,
+         CASE WHEN n_chars < 100 THEN 'n_chars:minimum' END,
+         CASE WHEN lang NOT IN ('en','de','es','fr') THEN 'lang:enum' END,
+         CASE WHEN length(text) > 500 THEN 'text:maxLength' END
+       ], x -> x IS NOT NULL)), ','), '') AS errors,
+       CASE WHEN (n_chars IS NULL OR n_chars >= 100)
+                 AND (lang IS NULL OR lang IN ('en','de','es','fr'))
+                 AND (text IS NULL OR length(text) <= 500)
+                 AND doc_id IS NOT NULL
+            THEN 1 ELSE 0 END AS is_valid
+FROM documents""",
         # minhash_lsh_pairs, ann_lsh_topk, multimodal_features: rows-only
         # (probabilistic recall / Arrow kernel — verified in pytest instead)
     }

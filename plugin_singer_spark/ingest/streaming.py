@@ -37,6 +37,10 @@ class ReplayStats:
     events: int = 0
     batches: int = 0
     reports: list[IngestReport] = field(default_factory=list)
+    # wall seconds per committed epoch — min over epochs is the steady-state
+    # throughput estimator used by the scaling bench (first epoch carries
+    # JIT/codegen warmup; interference bursts inflate individual epochs)
+    epoch_secs: list[float] = field(default_factory=list)
 
 
 def replay_chunked(
@@ -148,13 +152,20 @@ def replay_files(
         return stats
     chunks = [files[i : i + files_per_batch] for i in range(0, len(files), files_per_batch)]
     start_epoch = (table.last_committed_epoch(checkpoint_id) + 1) if resume else 0
+    import time as _time
+
     for epoch in range(start_epoch, len(chunks)):
         if max_batches is not None and stats.batches >= max_batches:
             break
+        _t0 = _time.time()
         chunk = chunks[epoch]
         if input_format == "parquet":
             ev = spark.read.parquet(*chunk)
         else:
+            # two-step parse (json_tuple envelope + flat from_json on the
+            # record payload) measured faster than a single nested from_json
+            # over the whole line: the streaming json_tuple extraction is
+            # cheap and the flat record cast beats nested-struct parsing
             lines = spark.read.text(chunk)
             env = messages.parse_lines(lines, line_col="value", seq_from_envelope=True)
             ev = messages.records_for_stream(env, stream, record_schema, keep_envelope=("seq",))
@@ -172,6 +183,7 @@ def replay_files(
         stats.reports.append(rep)
         if mode == "mor" and compact_every and (epoch + 1) % compact_every == 0:
             compact(table, min_delta_files=max(1, compact_every))
+        stats.epoch_secs.append(round(_time.time() - _t0, 3))
     if mode == "mor" and final_compact:
         compact(table, min_delta_files=1)
     return stats

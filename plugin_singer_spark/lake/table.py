@@ -51,6 +51,48 @@ def bucket_expr(key_columns: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_columns]), F.lit(num_buckets)).cast("int")
 
 
+# bucket-aligned repartition probes, per num_buckets (see _bucket_probes)
+_PROBE_CACHE: dict[int, list[int]] = {}
+
+
+def _bucket_probes(spark: SparkSession, num_buckets: int) -> list[int] | None:
+    """probe[b] = an int whose Murmur3 hash lands in shuffle partition b of
+    a ``repartition(num_buckets, col)`` exchange.
+
+    ``repartition(n, "_bucket")`` places rows at ``pmod(murmur3(_bucket), n)``
+    — hashing n distinct bucket ids into n slots leaves ~n/e slots EMPTY and
+    packs 2-3 buckets into others (birthday collisions), so the per-bucket
+    write wave is skewed ~2-3× at every epoch. Repartitioning on
+    ``probe[_bucket]`` instead sends each bucket to its own partition:
+    perfectly balanced write tasks, no sampling pass (vs repartitionByRange,
+    which would recompute the whole upstream plan to sample).
+
+    Found by evaluating ``F.hash`` (same Murmur3/seed-42 Spark's
+    HashPartitioning uses) over a small candidate range — one tiny job,
+    cached per num_buckets for the session lifetime.
+    """
+    if num_buckets in _PROBE_CACHE:
+        return _PROBE_CACHE[num_buckets]
+    probes: dict[int, int] = {}
+    lo, hi = 0, max(4096, 64 * num_buckets)
+    for _ in range(4):  # widen the candidate range if some slot is unhit
+        rows = (
+            spark.range(lo, hi)
+            .select(F.col("id"), F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_buckets)).alias("p"))
+            .groupBy("p")
+            .agg(F.min("id").alias("probe"))
+            .collect()
+        )
+        for r in rows:
+            probes.setdefault(int(r["p"]), int(r["probe"]))
+        if len(probes) == num_buckets:
+            out = [probes[b] for b in range(num_buckets)]
+            _PROBE_CACHE[num_buckets] = out
+            return out
+        lo, hi = hi, hi * 4
+    return None  # pathological — caller falls back to plain hash partitioning
+
+
 @dataclass
 class Snapshot:
     """One immutable table version.
@@ -307,13 +349,19 @@ class LakeTable:
         out_abs = self._abs(out_rel)
         cols = [f.name for f in schema.fields]
         n_buckets_in_df = num_buckets_hint or df.select("_bucket").distinct().count()
-        (
-            df.select("_bucket", *cols)
-            .repartition(max(int(n_buckets_in_df), 1), "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(out_abs)
-        )
+        n_part = max(int(n_buckets_in_df), 1)
+        probes = _bucket_probes(self.spark, n_part)
+        if probes is not None:
+            # bucket-aligned exchange: exactly one bucket per write task
+            # (see _bucket_probes — plain hash-on-_bucket skews 2-3×)
+            probe_col = F.element_at(
+                F.array(*[F.lit(x).cast("int") for x in probes]),
+                F.pmod(F.col("_bucket"), F.lit(n_part)).cast("int") + 1,
+            )
+            out = df.select("_bucket", *cols).repartition(n_part, probe_col)
+        else:
+            out = df.select("_bucket", *cols).repartition(n_part, "_bucket")
+        out.write.partitionBy("_bucket").mode("overwrite").parquet(out_abs)
         files: dict[str, list[str]] = {}
         for dirpath, _dirnames, filenames in os.walk(out_abs):
             base = os.path.basename(dirpath)

@@ -35,6 +35,15 @@ def get_spark(
         else:
             shuffle_partitions = os.cpu_count() or 8
 
+    # Shuffle/spill scratch: prefer RAM-backed /dev/shm when present — the
+    # local-mode stand-in for the node-local NVMe every real cluster node
+    # has; keeps the 460MB/s virtual disk out of the shuffle path. Override
+    # with SPARK_GRAFT_LOCAL_DIR; unset SPARK_GRAFT_SHM_SCRATCH=0 to disable.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.environ.get("SPARK_GRAFT_SHM_SCRATCH", "1") != "0":
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            local_dir = "/dev/shm/spark-scratch"
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -50,6 +59,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -145,3 +145,33 @@ def test_epoch_fence(spark, table):
     assert table.last_committed_epoch("cp") == -1
     merge_into(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v")], COLS), properties={"epochs": {"cp": 0}})
     assert table.last_committed_epoch("cp") == 0
+
+
+def test_bucket_probe_alignment(spark):
+    """repartition on probe[_bucket] sends each bucket to its own shuffle
+    partition — balanced write waves (lake/table.py _bucket_probes)."""
+    from pyspark.sql import functions as F
+
+    from plugin_singer_spark.lake.table import _bucket_probes
+
+    n = 16
+    probes = _bucket_probes(spark, n)
+    assert probes is not None and len(probes) == n
+    df = spark.range(0, 2000).select(F.pmod(F.col("id"), F.lit(n)).cast("int").alias("_bucket"))
+    probe_col = F.element_at(
+        F.array(*[F.lit(x).cast("int") for x in probes]),
+        F.pmod(F.col("_bucket"), F.lit(n)).cast("int") + 1,
+    )
+    parts = (
+        df.repartition(n, probe_col)
+        .select("_bucket", F.spark_partition_id().alias("pid"))
+        .distinct()
+        .collect()
+    )
+    # one partition per bucket, one bucket per partition
+    b2p = {}
+    for r in parts:
+        b2p.setdefault(r["_bucket"], set()).add(r["pid"])
+    assert len(b2p) == n
+    assert all(len(ps) == 1 for ps in b2p.values())
+    assert len({next(iter(ps)) for ps in b2p.values()}) == n
