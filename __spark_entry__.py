@@ -372,6 +372,26 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, exact=True)
 
 
+def q_stream_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19 stream maps: rename/derive/drop columns + row filter compiled to
+    selectExpr/filter (operators/streammap.py; targets/Oracle.java:111-118)."""
+    from plugin_singer_spark.operators.streammap import apply_stream_map
+
+    df = _t(spark, sf_dir, "orders")
+    mapped, _ = apply_stream_map(
+        df,
+        {
+            "__filter__": "o_totalprice > config.min_price",
+            "order_key": "o_orderkey",
+            "status_lc": "lower(o_orderstatus)",
+            "price_bucket": "cast(floor(o_totalprice / 50000) as int)",
+            "__else__": None,
+        },
+        config={"min_price": 100000},
+    )
+    return mapped
+
+
 def q_record_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 record validation: JSON-Schema compiled to vectorized checks;
     per-row error list + valid flag (operators/validate.py)."""
@@ -431,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
+        "stream_map": q_stream_map,
         "record_validation": q_record_validation,
         "multimodal_features": q_multimodal_features,
     }
@@ -627,6 +648,11 @@ WHERE list_reduce(list_transform(range(1, len(a.embedding)+1),
                               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
       / (sqrt(list_reduce(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
          * sqrt(list_reduce(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) >= 0.35""",
+        "stream_map": """
+SELECT o_orderkey AS order_key,
+       lower(o_orderstatus) AS status_lc,
+       CAST(floor(o_totalprice / 50000) AS INT) AS price_bucket
+FROM orders WHERE o_totalprice > 100000""",
         "record_validation": """
 SELECT doc_id,
        coalesce(array_to_string(list_sort(list_filter([
