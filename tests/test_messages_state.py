@@ -99,3 +99,29 @@ def test_validate_records(spark):
     df = spark.createDataFrame([(1, "a"), (None, "b")], ["id", "v"])
     valid, invalid = messages.validate_records(df, ["id"])
     assert valid.count() == 1 and invalid.count() == 1
+
+
+def test_parse_records_lean_equivalence(spark, tmp_path):
+    """Lean 4-field parse produces exactly the rows of the full
+    parse_lines + records_for_stream path (messages.parse_records_lean)."""
+    from pyspark.sql import functions as F, types as T
+
+    from plugin_singer_spark import messages
+    from plugin_singer_spark.datagen import BinlogSpec
+    from plugin_singer_spark.datagen.binlog import write_singer_jsonl
+
+    spec = BinlogSpec(num_events=2000, num_repos=4, paths_per_repo=20, num_partitions=2)
+    d = str(tmp_path / "jsonl")
+    write_singer_jsonl(spark, spec, d)
+    rec = T.StructType(
+        [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content", "op"]]
+    )
+    lines = spark.read.text(d + "/part-*")
+    full = messages.records_for_stream(
+        messages.parse_lines(lines, line_col="value", seq_from_envelope=True),
+        "repos", rec, keep_envelope=("seq",),
+    )
+    lean = messages.parse_records_lean(lines, "repos", rec)
+    assert lean.columns == full.columns
+    h = ["sum(hash(seq,repo,path,commit,lang,content,op)) as h", "count(1) as n"]
+    assert lean.selectExpr(*h).collect() == full.selectExpr(*h).collect()
