@@ -146,6 +146,8 @@ def replay_files(
     from plugin_singer_spark.lake.merge import compact
     from plugin_singer_spark import messages
 
+    from plugin_singer_spark.lake.evolution import evolve_schema
+
     stats = ReplayStats()
     files = sorted(_glob.glob(os.path.join(src_dir, "part-*")))
     if not files:
@@ -154,6 +156,25 @@ def replay_files(
     start_epoch = (table.last_committed_epoch(checkpoint_id) + 1) if resume else 0
     import time as _time
 
+    # live schema registry (record_schema=None): folds in-band SCHEMA
+    # messages across epochs — a mid-stream SCHEMA with a new column evolves
+    # the parse struct for ITS OWN batch onward (SURVEY §1.3: the diff must
+    # apply before the cast of the batch that carried the new SCHEMA), and
+    # the merge's evolve=True widens the table schema on commit. On resume
+    # the SCHEMA messages of committed epochs are never re-read, so the
+    # registry seeds from the table's committed schema (which those epochs
+    # evolved) plus the CDC op envelope field.
+    live_schema = None
+    if record_schema is None and input_format != "parquet" and start_epoch > 0:
+        from pyspark.sql import types as _T
+
+        from plugin_singer_spark.lake.table import DELETED_AT, SEQ_FIELD
+
+        data_fields = [
+            f for f in table.snapshot().schema.fields if f.name not in (SEQ_FIELD, DELETED_AT)
+        ]
+        live_schema = _T.StructType(data_fields + [_T.StructField("op", _T.StringType())])
+
     for epoch in range(start_epoch, len(chunks)):
         if max_batches is not None and stats.batches >= max_batches:
             break
@@ -161,9 +182,20 @@ def replay_files(
         chunk = chunks[epoch]
         if input_format == "parquet":
             ev = spark.read.parquet(*chunk)
-        else:
+        elif record_schema is not None:
             lines = spark.read.text(chunk)
             ev = messages.parse_records_lean(lines, stream, record_schema, line_col="value")
+        else:
+            lines = spark.read.text(chunk)
+            env = messages.parse_lines(lines, line_col="value", seq_from_envelope=True)
+            for _seq, s_name, struct, _keys in messages.collect_schemas(env):
+                if s_name == stream:
+                    live_schema = struct if live_schema is None else evolve_schema(live_schema, struct)
+            if live_schema is None:
+                raise ValueError(
+                    f"stream {stream!r}: RECORD before any SCHEMA message and no record_schema given"
+                )
+            ev = messages.records_for_stream(env, stream, live_schema, keep_envelope=("seq",))
         rep = replay_cdc(
             table,
             ev,

@@ -153,3 +153,56 @@ def test_multi_stream_chained_pipeline(spark, tmp_path):
     paths = write_jsonl_streams(outs, str(tmp_path / "sink"))
     assert sorted(os.path.basename(p) for p in paths.values()) == ["category.jsonl", "region.jsonl"]
     assert sum(1 for _ in open(paths["category"])) == 8
+
+
+def test_schema_evolution_mid_stream_replay(spark, tmp_path):
+    """A SCHEMA message mid-stream adds a column; the batch that carried it
+    parses with the evolved struct (SURVEY §1.3) and the merge widens the
+    table schema. Old rows read back with null backfill; resume after the
+    evolution seeds the registry from the committed table schema."""
+    import json as _json
+    import os
+
+    cat = {"type": "object", "properties": {
+        "categoryid": {"type": "integer"}, "categoryname": {"type": ["null", "string"]}}}
+    cat_v2 = {"type": "object", "properties": {
+        "categoryid": {"type": "integer"}, "categoryname": {"type": ["null", "string"]},
+        "stars": {"type": ["null", "integer"]}}}
+
+    src = tmp_path / "evo"
+    os.makedirs(src)
+    # part-0: SCHEMA v1 + 3 records; part-1: SCHEMA v2 + 2 records with stars
+    (src / "part-00000.jsonl").write_text("\n".join(
+        [_json.dumps({"type": "SCHEMA", "stream": "category", "seq": 0, "schema": cat})]
+        + [_json.dumps({"type": "RECORD", "stream": "category", "seq": i + 1,
+                        "record": {"categoryid": i, "categoryname": f"c{i}"}}) for i in range(3)]
+    ) + "\n")
+    (src / "part-00001.jsonl").write_text("\n".join(
+        [_json.dumps({"type": "SCHEMA", "stream": "category", "seq": 10, "schema": cat_v2})]
+        + [_json.dumps({"type": "RECORD", "stream": "category", "seq": 11 + i,
+                        "record": {"categoryid": 10 + i, "categoryname": f"n{i}", "stars": i}}) for i in range(2)]
+    ) + "\n")
+
+    schema = T.StructType([
+        T.StructField("categoryid", T.IntegerType()),
+        T.StructField("categoryname", T.StringType()),
+    ])
+    table = LakeTable.create(spark, str(tmp_path / "cat"), schema, ["categoryid"], num_buckets=2)
+
+    from plugin_singer_spark.ingest.streaming import replay_files
+
+    # first epoch only (pre-evolution), then resume for the evolving epoch
+    s1 = replay_files(spark, table, str(src), files_per_batch=1, stream="category",
+                      checkpoint_id="evo", input_format="jsonl", record_schema=None,
+                      mode="cow", max_batches=1)
+    assert s1.events == 3
+    assert "stars" not in table.snapshot().schema.fieldNames()
+
+    s2 = replay_files(spark, table, str(src), files_per_batch=1, stream="category",
+                      checkpoint_id="evo", input_format="jsonl", record_schema=None, mode="cow")
+    assert s2.events == 2
+    final = table.read()
+    assert "stars" in final.columns  # table schema widened
+    rows = {r["categoryid"]: r["stars"] for r in final.collect()}
+    assert rows[10] == 0 and rows[11] == 1
+    assert all(rows[i] is None for i in range(3))  # null backfill on old rows
