@@ -138,34 +138,35 @@ class DiscoverStreams:
 
 
 def _match_properties(node: MetadataNode, patterns: list[str]) -> bool:
-    """services/SelectedService.java:34-42 — regex *full match* of the
-    breadcrumb property name against any pattern."""
-    name = node.property_name
-    if name is None:
-        return False
+    """services/SelectedService.java:34-42 — empty pattern list matches
+    EVERY node (stream level included); otherwise regex *full match* of the
+    properties-stripped breadcrumb (stream level = empty string, so it only
+    matches patterns that match \"\")."""
+    if not patterns:
+        return True
+    name = node.property_name or ""
     return any(re.fullmatch(p, name) for p in patterns)
 
 
 def _select_stream(stream: DiscoverStream, cfg: StreamsConfiguration) -> None:
     """services/SelectedService.java:44-68 — apply one configuration to one
-    stream: mark matched nodes selected/deselected; stream-level node also
-    gets selected + replication metadata; automatic-inclusion nodes are
-    never deselected (Singer convention: key properties always flow)."""
+    stream: every node whose breadcrumb matches gets selected/deselected
+    (so a property-pattern config does NOT touch the stream-level node);
+    a matched stream-level node additionally gets replication metadata.
+    Engine refinement: automatic/unsupported inclusion nodes keep their
+    inclusion-driven fate (key properties always flow, unsupported never
+    does) — the observable tap behavior behind the reference's flag."""
     for node in stream.metadata:
+        if not _match_properties(node, cfg.properties_pattern):
+            continue
         if node.is_stream_level:
             node.metadata["selected"] = cfg.selected
             if cfg.replication_method:
                 node.metadata["replication-method"] = cfg.replication_method
             if cfg.replication_key:
                 node.metadata["replication-key"] = cfg.replication_key
-        elif not cfg.properties_pattern:
-            # no property patterns ⇒ stream-wide selection applies to all
-            # available properties
-            if node.inclusion == "available":
-                node.metadata["selected"] = cfg.selected
-        elif _match_properties(node, cfg.properties_pattern):
-            if node.inclusion == "available":
-                node.metadata["selected"] = cfg.selected
+        elif node.inclusion == "available":
+            node.metadata["selected"] = cfg.selected
 
 
 def fill(catalog: DiscoverStreams, configs: list[StreamsConfiguration]) -> DiscoverStreams:

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import Any
 
@@ -61,7 +62,87 @@ def _open_table(spark: SparkSession, cfg: dict[str, Any]):
     )
 
 
+def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
+    """Multi-stream catalog-driven sync — the reference's catalog.json path.
+
+    ``cfg["catalog"]`` is a Singer discovery document
+    (models/DiscoverStreams.java:8-10); ``cfg["streams_configurations"]``
+    are selection rules applied with last-config-wins regex semantics
+    (services/SelectedService.java:13-68). Every SELECTED stream is demuxed
+    out of the shared raw artifact, pruned to its selected properties
+    (true column pruning before any shuffle), and merged into its own lake
+    table under ``tables_root/<stream>`` using the stream's replication
+    method. Per-stream record counts are reported like the reference's
+    per-stream metrics (JsonTest.java:61-62: 8 category + 4 region).
+    """
+    from pyspark.sql import functions as F
+
+    from plugin_singer_spark import messages
+    from plugin_singer_spark.catalog import (
+        StreamsConfiguration,
+        catalog_from_discovery,
+        fill,
+        infer_metadata,
+    )
+    from plugin_singer_spark.ingest.pipeline import replay_cdc, sync_full_table, sync_incremental, seq_bookmark
+    from plugin_singer_spark.lake.table import LakeTable
+
+    catalog = catalog_from_discovery(cfg["catalog"])
+    for s in catalog.streams:
+        infer_metadata(s)  # bootstrap metadata for bare discovery docs
+    catalog = fill(
+        catalog,
+        [StreamsConfiguration(**c) for c in cfg.get("streams_configurations", [])],
+    )
+    src = cfg["source"]
+    root = cfg["tables_root"]
+    mode = cfg.get("write_mode", "mor")
+    env = messages.parse_lines(
+        spark.read.text(src["path"]), line_col="value", seq_from_envelope=True
+    )
+
+    report: dict[str, Any] = {}
+    for s in catalog.selected():
+        struct = s.spark_schema()
+        keep = [p for p in s.selected_properties()]
+        # keys are always kept (inclusion=automatic in the reference)
+        cols = list(dict.fromkeys(s.key_properties + keep))
+        struct = T.StructType(
+            [f for f in struct.fields if f.name in cols] + [T.StructField("op", T.StringType())]
+        )
+        recs = messages.records_for_stream(env, s.stream, struct, keep_envelope=("seq",))
+        recs = recs.withColumn("op", F.coalesce(F.col("op"), F.lit("U")))
+        tpath = os.path.join(root, s.stream)
+        tschema = T.StructType([f for f in struct.fields if f.name != "op"])
+        table = (
+            LakeTable(spark, tpath)
+            if LakeTable.exists(tpath)
+            else LakeTable.create(spark, tpath, tschema, s.key_properties, num_buckets=int(cfg.get("num_buckets", 8)))
+        )
+        method, repl_key = s.replication()
+        method = (method or cfg.get("replication_method", "LOG_BASED")).upper()
+        if method == "INCREMENTAL" and repl_key:
+            rep = sync_incremental(
+                table, recs, replication_key=repl_key, stream=s.stream,
+                bookmark=seq_bookmark(table, s.stream),
+            )
+        elif method == "FULL_TABLE":
+            rep = sync_full_table(table, recs, stream=s.stream)
+        else:
+            rep = replay_cdc(table, recs, stream=s.stream, epoch=None, mode=mode)
+        report[s.stream] = {
+            "events": rep.record_count,
+            "final_rows": table.read().count(),
+            "table": tpath,
+            "replication_method": method,
+            "columns": [f.name for f in table.snapshot().schema.fields],
+        }
+    return {"streams": report}
+
+
 def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
+    if "catalog" in cfg:
+        return run_catalog_job(spark, cfg)
     from plugin_singer_spark.ingest.pipeline import sync_full_table, sync_incremental, seq_bookmark
     from plugin_singer_spark.ingest.streaming import replay_files
     from plugin_singer_spark.operators.streammap import apply_stream_map

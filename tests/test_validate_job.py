@@ -172,3 +172,68 @@ def test_job_cli_roundtrip(tmp_path, spark):
     p = tmp_path / "job.json"
     p.write_text(json.dumps(cfg))
     assert jobmod.main(["--config", str(p)]) == 0
+
+
+def test_catalog_multi_stream_job(spark, tmp_path):
+    """Catalog-driven job: selection rules pick streams + prune properties,
+    each selected stream lands in its own table with the reference's
+    per-stream counts (JsonTest.java:61-62 analog: 8 category + 4 region;
+    PipelinewisePostgresTest.java:60-62 analog: pruned record width)."""
+    import json as _json
+
+    lines = (
+        [
+            _json.dumps({"type": "RECORD", "stream": "category", "seq": i,
+                         "record": {"categoryid": i, "categoryname": f"c{i}", "description": "drop-me"}})
+            for i in range(8)
+        ]
+        + [
+            _json.dumps({"type": "RECORD", "stream": "region", "seq": 100 + i,
+                         "record": {"regionid": i, "regiondescription": f"r{i}"}})
+            for i in range(4)
+        ]
+        + [
+            _json.dumps({"type": "RECORD", "stream": "unselected", "seq": 200,
+                         "record": {"x": 1}})
+        ]
+    )
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text("\n".join(lines) + "\n")
+
+    cfg = {
+        "catalog": {
+            "streams": [
+                {"stream": "category", "key_properties": ["categoryid"],
+                 "schema": {"type": "object", "properties": {
+                     "categoryid": {"type": "integer"},
+                     "categoryname": {"type": ["null", "string"]},
+                     "description": {"type": ["null", "string"]}}}},
+                {"stream": "region", "key_properties": ["regionid"],
+                 "schema": {"type": "object", "properties": {
+                     "regionid": {"type": "integer"},
+                     "regiondescription": {"type": ["null", "string"]}}}},
+                {"stream": "unselected", "key_properties": ["x"],
+                 "schema": {"type": "object", "properties": {"x": {"type": "integer"}}}},
+            ]
+        },
+        "streams_configurations": [
+            {"stream": "category", "selected": True},
+            # regex deselect: description pruned (SelectedServiceTest order semantics)
+            {"stream": "category", "properties_pattern": ["descr.*"], "selected": False},
+            {"stream": "region", "selected": True, "replication_method": "INCREMENTAL",
+             "replication_key": "regionid"},
+        ],
+        "source": {"path": str(raw)},
+        "tables_root": str(tmp_path / "lake"),
+        "num_buckets": 2,
+    }
+    from plugin_singer_spark.job import run_job
+
+    out = run_job(spark, cfg)["streams"]
+    assert set(out) == {"category", "region"}  # unselected stream skipped
+    assert out["category"]["events"] == 8 and out["category"]["final_rows"] == 8
+    assert out["region"]["events"] == 4 and out["region"]["final_rows"] == 4
+    assert out["region"]["replication_method"] == "INCREMENTAL"
+    # pruned width: description deselected, internal _sdc_* cols excluded
+    data_cols = [c for c in out["category"]["columns"] if not c.startswith("_sdc")]
+    assert data_cols == ["categoryid", "categoryname"]
