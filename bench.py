@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -138,6 +139,8 @@ def main() -> None:
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
+    final_rows = table.read().count()
+    snapshot = table.current_version()
     print(
         json.dumps(
             {
@@ -159,12 +162,17 @@ def main() -> None:
                     "batches": stats.batches,
                     "epoch_secs": stats.epoch_secs,
                     "steady_events_per_sec": round(steady_eps, 1),
-                    "final_rows": table.read().count(),
-                    "snapshot": table.current_version(),
+                    "final_rows": final_rows,
+                    "snapshot": snapshot,
                 },
             }
         )
     )
+    # the lake table is a multi-GB throwaway — repeated bench/scaling runs
+    # filled the 252GB disk before this cleanup existed
+    shutil.rmtree(root, ignore_errors=True)
+    if not os.environ.get("BENCH_BINLOG_DIR"):
+        shutil.rmtree(blog_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
