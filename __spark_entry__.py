@@ -167,8 +167,13 @@ def q_cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed COW MERGE into a lake table, then read the final state. The
     oracle is plain SQL over the same derived binlog: the whole MERGE
     machinery must agree with a window query."""
+    import atexit
+    import shutil
+
     b = derived_binlog(spark, sf_dir).withColumn("ts", F.lit(None).cast("timestamp"))
     root = tempfile.mkdtemp(prefix="entry_merge_")
+    # the returned DataFrame reads these files lazily — defer cleanup to exit
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     t = LakeTable.create(spark, os.path.join(root, "repos"), REPOS_SCHEMA, ["repo", "path"], num_buckets=16)
     replay_chunked(t, b, batch_events=4000, checkpoint_id="entry")
     return t.read().select("repo", "path", "commit", "lang", "content")
@@ -275,8 +280,11 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2))).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(T.DecimalType(18, 2))).alias("sum_base_price"),
+            # decimal-exact internally, double-rounded on BOTH sides so the
+            # driver canonicalizer hashes the same representation as DuckDB
+            # (which converts decimals to float64 before hashing)
+            F.round(F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2))).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(T.DecimalType(18, 2))).cast("double"), 2).alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -416,12 +424,17 @@ def q_record_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents.text bytes as a stand-in binary column
-    → mapInPandas feature extraction (deterministic fake codec). Rows-only
-    check (no SQL oracle for the Arrow kernel)."""
+    → mapInPandas feature extraction (deterministic fake codec). The Arrow
+    kernel runs in full; the driver compares its SQL-expressible outputs
+    (sha256 + byte length) against DuckDB, while the float feature vector —
+    not SQL-reproducible bit-exactly — is determinism/shape-checked in
+    tests/test_operators.py. No array<float> in the output: the driver's
+    pandas canonicalizer cannot sort list cells."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("media")
     )
-    return extract_features(d, "doc_id", "media", dim=8)
+    feats = extract_features(d, "doc_id", "media", dim=8)
+    return feats.select("doc_id", "media_sha256", "n_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -524,8 +537,8 @@ SELECT lang, count(*) AS appended_rows,
 FROM binlog GROUP BY lang""",
         "orders_rollup": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -667,8 +680,13 @@ SELECT doc_id,
                  AND doc_id IS NOT NULL
             THEN 1 ELSE 0 END AS is_valid
 FROM documents""",
-        # minhash_lsh_pairs, ann_lsh_topk, multimodal_features: rows-only
-        # (probabilistic recall / Arrow kernel — verified in pytest instead)
+        "multimodal_features": """
+SELECT doc_id,
+       sha256(text) AS media_sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents""",
+        # minhash_lsh_pairs, ann_lsh_topk: rows-only (probabilistic LSH
+        # recall — verified against the exact variants in pytest instead)
     }
 
 
