@@ -402,9 +402,13 @@ class LakeTable:
                 snap = self.snapshot(v)
             except FileNotFoundError:
                 continue
-            for fs in snap.files.values():
-                for p in fs:
-                    referenced.add(p.split(os.sep)[1])  # data/<sid>/...
+            # base files AND MOR delta files: a kept snapshot's deltas live
+            # in their own data/<sid>/ dirs (merge_append creates one per
+            # epoch) — missing them here silently deleted live MOR data
+            for m in (snap.files, snap.delta_files):
+                for fs in m.values():
+                    for p in fs:
+                        referenced.add(p.split(os.sep)[1])  # data/<sid>/...
         removed = 0
         data_abs = self._abs(DATA_DIR)
         for sid in os.listdir(data_abs):

@@ -141,6 +141,22 @@ def test_expire_snapshots(spark, table):
         table.snapshot(1)
 
 
+def test_expire_snapshots_keeps_mor_deltas(spark, table):
+    """Regression: expire must treat MOR delta files as referenced — a kept
+    snapshot whose deltas live in their own data/<sid>/ dirs (merge_append
+    creates one per epoch) previously lost them on expire."""
+    from plugin_singer_spark.lake.merge import merge_append
+
+    for i in range(6):
+        merge_append(table, spark.createDataFrame([(i, "U", "r", f"p{i % 2}", "c", "py", f"v{i}")], COLS))
+    assert table.snapshot().delta_files  # uncompacted deltas present
+    before = state(table)
+    table.expire_snapshots(keep_last=2)
+    assert state(table) == before  # MOR replay state survives expiry
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(1)
+
+
 def test_epoch_fence(spark, table):
     assert table.last_committed_epoch("cp") == -1
     merge_into(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v")], COLS), properties={"epochs": {"cp": 0}})
