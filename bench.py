@@ -51,6 +51,9 @@ def main() -> None:
     # process-wide mmap_lock and at 32 threads the run collapses into ~55%
     # kernel time (measured 357-489s vs 82s for the identical replay).
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
+    # RAM-backed shuffle scratch: safe for the bench's bounded shuffles,
+    # opt-in only (session.py) so production jobs never risk /dev/shm ENOSPC
+    os.environ.setdefault("SPARK_GRAFT_SHM_SCRATCH", "1")
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",

@@ -172,8 +172,34 @@ def _bookmark_props(stream: str | None, seq_col: str, hwm: Any) -> dict[str, Any
     return {"bookmarks": {stream: {"replication_key": seq_col, "replication_key_value": int(hwm)}}}
 
 
+_TYPE_WIDTH = {"long": 8, "int": 4, "double": 8, "float": 4, "boolean": 1, "date": 4, "timestamp": 8}
+_STRING_WIDTH = 64  # conservative avg for key-ish strings (repo/path)
+_ROW_OVERHEAD = 20  # UnsafeRow/bookkeeping per broadcast row
+
+
+def _estimate_row_bytes(df: DataFrame) -> int:
+    total = _ROW_OVERHEAD
+    for f in df.schema.fields:
+        total += _TYPE_WIDTH.get(f.dataType.simpleString(), _STRING_WIDTH)
+    return total
+
+
 def _broadcast_if_small(df: DataFrame, hint_rows: int | None) -> DataFrame:
-    if hint_rows is not None and hint_rows <= 2_000_000:
+    """Byte-estimated broadcast hint. Row counts alone lie: 2M (repo,path)
+    string keys are 200+ MB shipped to every executor — a cliff Spark's own
+    64 MB autoBroadcastJoinThreshold would never choose. Estimate bytes from
+    the schema (strings at a conservative 64 B avg) and only hint below the
+    session's threshold; otherwise leave the choice to AQE, whose runtime
+    shuffle stats see the true size."""
+    if hint_rows is None:
+        return df
+    try:
+        threshold = int(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        )
+    except (TypeError, ValueError):
+        threshold = 64 * 1024 * 1024
+    if threshold > 0 and hint_rows * _estimate_row_bytes(df) <= threshold:
         return F.broadcast(df)
     return df
 

@@ -41,11 +41,15 @@ def apply_stream_map(
         return out
 
     # config constants become a literal substitution map: expressions refer
-    # to them as config.<name>
+    # to them as config.<name>. Longest names first, and the match must end
+    # at a word boundary — otherwise config.min corrupts config.min_price.
+    import re
+
     def substitute(e: str) -> str:
-        for k, v in cfg.items():
+        for k in sorted(cfg, key=len, reverse=True):
+            v = cfg[k]
             lit = f"'{v}'" if isinstance(v, str) else str(v)
-            e = e.replace(f"config.{k}", lit)
+            e = re.sub(rf"config\.{re.escape(k)}\b", lit, e)
         return e
 
     alias = mapping.get(ALIAS_KEY)

@@ -75,9 +75,13 @@ def _property_checks(name: str, spec: dict[str, Any]) -> list[tuple[str, Column]
         checks.append((f"{name}:maximum", present | ok))
     if "multipleOf" in spec:
         m = float(spec["multipleOf"])
-        # scale check with float tolerance: value/m must be integral
+        # scale check: value/m must be integral. Tolerance must be RELATIVE:
+        # the double ulp of a large ratio exceeds any absolute epsilon
+        # (value ~1e12 with multipleOf 0.01 → ratio ~1e14 whose representation
+        # error is ~1e-2, false-flagging genuinely valid multiples).
         ratio = col.cast("double") / F.lit(m)
-        ok = F.abs(ratio - F.round(ratio, 0)) < F.lit(1e-9)
+        tol = F.greatest(F.lit(1e-9), F.abs(ratio) * F.lit(1e-9))
+        ok = F.abs(ratio - F.round(ratio, 0)) <= tol
         checks.append((f"{name}:multipleOf", present | ok))
     if "enum" in spec:
         checks.append((f"{name}:enum", present | col.isin(list(spec["enum"]))))

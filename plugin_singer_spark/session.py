@@ -35,12 +35,13 @@ def get_spark(
         else:
             shuffle_partitions = os.cpu_count() or 8
 
-    # Shuffle/spill scratch: prefer RAM-backed /dev/shm when present — the
-    # local-mode stand-in for the node-local NVMe every real cluster node
-    # has; keeps the 460MB/s virtual disk out of the shuffle path. Override
-    # with SPARK_GRAFT_LOCAL_DIR; unset SPARK_GRAFT_SHM_SCRATCH=0 to disable.
+    # Shuffle/spill scratch: RAM-backed /dev/shm is OPT-IN
+    # (SPARK_GRAFT_SHM_SCRATCH=1 — the bench sets it) because /dev/shm is
+    # typically capped at ~50% RAM: a production job whose shuffle/spill
+    # exceeds that fails with ENOSPC where plain disk would succeed, and
+    # spill pages compete with the JVM heap. SPARK_GRAFT_LOCAL_DIR overrides.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.environ.get("SPARK_GRAFT_SHM_SCRATCH", "1") != "0":
+    if local_dir is None and os.environ.get("SPARK_GRAFT_SHM_SCRATCH", "0") == "1":
         if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
             local_dir = "/dev/shm/spark-scratch"
 

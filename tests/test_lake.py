@@ -141,6 +141,22 @@ def test_expire_snapshots(spark, table):
         table.snapshot(1)
 
 
+def test_broadcast_hint_is_byte_estimated(spark):
+    """The merge broadcast hint must be sized in bytes, not rows: 2M string
+    keys (~300 MB est.) stay un-hinted (AQE decides from real stats), while
+    a small batch gets the explicit broadcast."""
+    from plugin_singer_spark.lake.merge import _broadcast_if_small, _estimate_row_bytes
+
+    df = spark.createDataFrame([("r", "p", 1)], "repo string, path string, _src_seq long")
+    est = _estimate_row_bytes(df)
+    assert est >= 2 * 64 + 8  # two strings + a long, plus overhead
+    threshold = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    small = _broadcast_if_small(df, threshold // est)  # fits → hinted
+    big = _broadcast_if_small(df, threshold // est + 1)  # over → left to AQE
+    assert "hint" in small._jdf.queryExecution().logical().toString().lower()
+    assert "hint" not in big._jdf.queryExecution().logical().toString().lower()
+
+
 def test_expire_snapshots_keeps_mor_deltas(spark, table):
     """Regression: expire must treat MOR delta files as referenced — a kept
     snapshot whose deltas live in their own data/<sid>/ dirs (merge_append

@@ -72,6 +72,18 @@ def test_stream_map(spark):
     assert len(rows) == 1 and rows[0]["v_doubled"] == 20
 
 
+def test_stream_map_config_name_prefix(spark):
+    """config.min must not corrupt config.min_price (longest-first +
+    word-boundary substitution)."""
+    df = spark.createDataFrame([(1, 150.0), (2, 50.0)], ["id", "price"])
+    out, _ = apply_stream_map(
+        df,
+        {"__filter__": "price > config.min_price and price > config.min"},
+        config={"min": 10, "min_price": 100},
+    )
+    assert [r["id"] for r in out.collect()] == [1]
+
+
 def test_file_sinks(spark, tmp_path):
     cat = spark.createDataFrame([(i, f"c{i}") for i in range(8)], ["id", "name"])
     reg = spark.createDataFrame([(i,) for i in range(4)], ["rid"])

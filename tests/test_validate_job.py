@@ -62,6 +62,18 @@ def test_validate_threshold(spark):
     enforce_threshold(validated, detect=False, threshold=0)
 
 
+def test_validate_multiple_of_large_values(spark):
+    """Relative tolerance: a valid cents-multiple near 1e12 must not be
+    false-flagged just because its ratio's double ulp exceeds 1e-9."""
+    schema = {"type": "object", "properties": {"price": {"type": ["null", "number"], "multipleOf": 0.01}}}
+    df = spark.createDataFrame(
+        [(1, 1_000_000_000_000.01), (2, 999_999_999_999.99), (3, 12.345)], ["id", "price"]
+    )
+    reasons = {r["id"]: set(r["_errors"]) for r in validate_records(df, schema).collect()}
+    assert reasons[1] == set() and reasons[2] == set()
+    assert reasons[3] == {"price:multipleOf"}
+
+
 def test_validate_no_constraints_passthrough(spark):
     df = _df(spark)
     validated = validate_records(df, {"type": "object", "properties": {}})
