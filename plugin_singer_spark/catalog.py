@@ -201,6 +201,79 @@ def catalog_from_discovery(doc: dict[str, Any]) -> DiscoverStreams:
     return DiscoverStreams(streams=streams)
 
 
+def discover_from_jsonl(spark, path: str, sample_limit: int | None = None) -> DiscoverStreams:
+    """Produce a discovery document from a raw Singer JSONL directory — the
+    engine's ``--discover`` run (taps/AbstractPythonTap.java:149-163).
+
+    In-band SCHEMA messages win (their JSON-Schema + key_properties are
+    authoritative); streams that emit RECORDs with no SCHEMA get their
+    schema *inferred from the data* via Spark's distributed JSON schema
+    inference over the record payloads (one pass; ``sample_limit`` bounds it
+    for huge artifacts). Inferred streams have no key_properties — the
+    reference learns keys from source metadata, which raw JSONL lacks.
+    """
+    from pyspark.sql import functions as F
+
+    from plugin_singer_spark import messages
+    from plugin_singer_spark.lake.evolution import evolve_schema
+    from plugin_singer_spark.schema import struct_to_json_schema
+
+    env = messages.parse_lines(spark.read.text(path), line_col="value", seq_from_envelope=True)
+
+    schemas: dict[str, T.StructType] = {}
+    keys: dict[str, list[str]] = {}
+    for _seq, name, struct, key_props in messages.collect_schemas(env):
+        schemas[name] = struct if name not in schemas else evolve_schema(schemas[name], struct)
+        if key_props:
+            keys[name] = key_props
+
+    rec = env.filter(F.col("type") == messages.RECORD)
+    rec_streams = [r["stream"] for r in rec.select("stream").distinct().collect()]
+    for name in rec_streams:
+        if name in schemas:
+            continue
+        payloads = rec.filter(F.col("stream") == name).select("record")
+        if sample_limit:
+            payloads = payloads.limit(sample_limit)
+        schemas[name] = spark.read.json(
+            payloads.rdd.map(lambda r: r["record"] or "{}")
+        ).schema
+
+    streams = []
+    for name in sorted(schemas):
+        s = DiscoverStream(
+            tap_stream_id=name,
+            stream=name,
+            json_schema=struct_to_json_schema(schemas[name]),
+            key_properties=keys.get(name, []),
+        )
+        infer_metadata(s)
+        streams.append(s)
+    return DiscoverStreams(streams=streams)
+
+
+def to_discovery_doc(catalog: DiscoverStreams) -> dict[str, Any]:
+    """Serialize a catalog back to the tap ``discover.json`` shape — the
+    artifact the reference writes as catalog.json/properties.json
+    (taps/AbstractPythonTap.java:64-66)."""
+    return {
+        "streams": [
+            {
+                "tap_stream_id": s.tap_stream_id,
+                "stream": s.stream,
+                "schema": s.json_schema,
+                "key_properties": s.key_properties,
+                **({"table_name": s.table_name} if s.table_name else {}),
+                "metadata": [
+                    {"breadcrumb": list(m.breadcrumb), "metadata": dict(m.metadata)}
+                    for m in s.metadata
+                ],
+            }
+            for s in catalog.streams
+        ]
+    }
+
+
 def infer_metadata(stream: DiscoverStream) -> DiscoverStream:
     """Bootstrap metadata nodes for a schema that has none: one stream-level
     node plus one per property, with inclusion=automatic for key properties

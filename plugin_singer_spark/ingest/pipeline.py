@@ -50,14 +50,19 @@ def sync_full_table(
     snap = table.snapshot()
     if not truncate:
         rep = merge_into(table, records, seq_col=seq_col or "seq", op_col=None, skip_updates=True)
-        n = table.read().count()
         version = rep.version if rep is not None else table.current_version()
+        n = table.row_count()  # footer stats — no full-table scan
+        if n is None:
+            n = table.read().count()
         return IngestReport(stream, n, version, table.bookmarks())
     schema = evolve_schema(snap.schema, records.drop(*(c for c in (seq_col, "op") if c and c in records.columns)).schema)
     data = cast_to(records, schema).withColumn("_bucket", bucket_expr(snap.key_columns, snap.num_buckets))
     files = table.write_buckets(data, schema)
     new = table.commit(files, schema=schema, lineage_record={"mode": "full_table_overwrite", "stream": stream})
-    return IngestReport(stream, table.read().count(), new.version, table.bookmarks())
+    n = table.row_count()  # fresh overwrite is delta-free ⇒ exact, scan-free
+    if n is None:
+        n = table.read().count()
+    return IngestReport(stream, n, new.version, table.bookmarks())
 
 
 def sync_incremental(

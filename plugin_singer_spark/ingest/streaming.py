@@ -52,6 +52,7 @@ def replay_chunked(
     max_batches: int | None = None,
     resume: bool = True,
     on_batch: Callable[[IngestReport], None] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
     mode: str = "cow",
     compact_every: int | None = None,
     final_compact: bool = False,
@@ -69,6 +70,8 @@ def replay_chunked(
     """
     from plugin_singer_spark.lake.merge import compact
     stats = ReplayStats()
+    if transform is not None:
+        binlog = transform(binlog)
     bounds = binlog.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
     if bounds["hi"] is None:
         return stats
@@ -123,6 +126,7 @@ def replay_files(
     final_compact: bool = True,
     resume: bool = True,
     max_batches: int | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
     **merge_kwargs: Any,
 ) -> ReplayStats:
     """Replay a staged binlog directory in FILE-granular micro-batches: one
@@ -196,6 +200,10 @@ def replay_files(
                     f"stream {stream!r}: RECORD before any SCHEMA message and no record_schema given"
                 )
             ev = messages.records_for_stream(env, stream, live_schema, keep_envelope=("seq",))
+        if transform is not None:
+            # load-side stages from the job config (stream maps, flatten,
+            # validate, metadata columns) — applied per epoch, pre-merge
+            ev = transform(ev)
         rep = replay_cdc(
             table,
             ev,
@@ -225,6 +233,7 @@ def stream_binlog(
     checkpoint_id: str = "stream",
     max_files_per_trigger: int = 4,
     available_now: bool = True,
+    processing_time: str | None = None,
     **merge_kwargs: Any,
 ):
     """Structured Streaming driver: file source over binlog parquet →
@@ -261,6 +270,11 @@ def stream_binlog(
         )
 
     writer = src.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
-    if available_now:
+    if processing_time is not None:
+        # time-based flush — the ``batch_wait_limit_seconds`` analog
+        # (targets/PipelinewiseSnowflake.java:300-304): commit an epoch every
+        # interval instead of running the source dry in one availableNow pass
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

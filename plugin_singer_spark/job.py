@@ -16,34 +16,177 @@ Job config (JSON)::
                  "columns": {"repo": "string", "path": "string",
                              "commit": "string", "lang": "string",
                              "content": "string"}},
-      "source": {"format": "jsonl",          # jsonl (raw Singer) | parquet
+      "source": {"format": "jsonl",   # jsonl | parquet | generic | jdbc
                  "path": "/binlog/dir",
                  "stream": "repos",
-                 "files_per_batch": 8},
+                 "files_per_batch": 8,
+                 # generic: "reader": "pkg.mod:fn" or a register_source name
+                 #          (taps/GenericTap.java:28-77 analog)
+                 # jdbc:    "options": {"url": ..., "dbtable": ...}
+                 },
       "replication_method": "LOG_BASED",     # | INCREMENTAL | FULL_TABLE
       "replication_key": "seq",              # INCREMENTAL only
       "write_mode": "mor",                   # mor | cow
       "checkpoint_id": "job",
       "validate": {...stream JSON-Schema...},      # optional (P15)
-      "invalid_records_threshold": 0,              # optional
-      "stream_map": {...}                          # optional (P19)
+      "invalid_records_detect": true,              # DatamillCoPostgres.java:148
+      "invalid_records_threshold": 0,
+      "quarantine_path": "...",                    # default <table>_quarantine
+      "stream_map": {...},                         # optional (P19)
+      "flatten": {"max_level": 2},                 # optional (P16,
+                                                   #  data_flattening_max_level)
+      "add_metadata_columns": true,                # optional (P17)
+      "before_sql": ["..."], "after_sql": ["..."]  # DatamillCoPostgres.java:159-168
     }
+
+Catalog-driven multi-stream jobs replace ``table`` with ``catalog`` (a
+Singer discovery doc, or ``"discover"`` to bootstrap the catalog from the
+raw artifact itself — the ``--discover`` run, taps/AbstractPythonTap.java:
+149-163) + ``streams_configurations`` + ``tables_root``.
 
 The run prints one JSON line: events, batches, final snapshot version and
 bookmarks — the ``Output{raw, count}`` analog
-(taps/AbstractPythonTap.java:180-194). Re-running with the same
-checkpoint_id resumes from the epoch fence (exactly-once).
+(taps/AbstractPythonTap.java:180-194). ``final_rows`` comes from parquet
+footer statistics (LakeTable.stats), never a full-table scan. Re-running
+with the same checkpoint_id resumes from the epoch fence (exactly-once).
 """
 
 from __future__ import annotations
 
 import argparse
+import importlib
 import json
 import os
+import shutil
 import sys
-from typing import Any
+from typing import Any, Callable
 
-from pyspark.sql import SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+# ---------------------------------------------------------------------------
+# Source adapters (GenericTap analog: arbitrary reader → same pipeline)
+# ---------------------------------------------------------------------------
+
+SourceReader = Callable[[SparkSession, dict], DataFrame]
+_SOURCE_READERS: dict[str, SourceReader] = {}
+
+
+def register_source(name: str, reader: SourceReader) -> None:
+    """Register a named source reader callable ``(spark, source_cfg) → DataFrame``.
+
+    The returned DataFrame must carry the change columns the replication
+    method needs (``seq`` always; ``op`` for LOG_BASED). This is the
+    engine's GenericTap plug point (taps/GenericTap.java:28-77): any
+    DataFrame reader — JDBC, a lake table, a custom format — flows through
+    the same replay/merge path.
+    """
+    _SOURCE_READERS[name] = reader
+
+
+def _resolve_reader(spec: str) -> SourceReader:
+    if spec in _SOURCE_READERS:
+        return _SOURCE_READERS[spec]
+    if ":" in spec:  # dotted path "pkg.mod:fn"
+        mod, attr = spec.rsplit(":", 1)
+        fn = getattr(importlib.import_module(mod), attr)
+        return fn
+    raise KeyError(f"unknown source reader {spec!r} (not registered, not a pkg.mod:fn path)")
+
+
+def _load_source(spark: SparkSession, src: dict[str, Any]) -> DataFrame:
+    """Batch-load one source per its format (scans stay declarative so
+    Catalyst pushes the replication filters down into them)."""
+    fmt = src.get("format", "parquet")
+    if fmt == "parquet":
+        return spark.read.parquet(src["path"])
+    if fmt == "jsonl":
+        from plugin_singer_spark import messages
+
+        schema = T.StructType.fromDDL(
+            ", ".join(f"{n} {t}" for n, t in src["columns"].items())
+        )
+        return messages.parse_records_lean(
+            spark.read.text(src["path"]), src.get("stream", "repos"), schema, line_col="value"
+        )
+    if fmt == "jdbc":
+        # JDBC incremental source (PipelinewiseOracle/SqlServer analog):
+        # plain options passthrough; partitionColumn/numPartitions in the
+        # options dict give the parallel read
+        return spark.read.format("jdbc").options(**src.get("options", {})).load()
+    if fmt == "generic":
+        return _resolve_reader(src["reader"])(spark, src)
+    raise ValueError(f"unknown source format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Load-side transform stages (stream map → flatten → validate → metadata)
+# ---------------------------------------------------------------------------
+
+def _build_transform(cfg: dict[str, Any], quarantine_path: str | None) -> Callable[[DataFrame], DataFrame] | None:
+    """Compile the configured load stages into one DataFrame→DataFrame
+    closure, applied per micro-batch before the merge. All stages are pure
+    Column expressions — no Python in the row path."""
+    from plugin_singer_spark.messages import inject_metadata_columns
+    from plugin_singer_spark.operators.flatten import flatten
+    from plugin_singer_spark.operators.streammap import apply_stream_map
+    from plugin_singer_spark.operators.validate import (
+        enforce_threshold,
+        split_valid,
+        validate_records,
+    )
+
+    stages: list[Callable[[DataFrame], DataFrame]] = []
+    if cfg.get("stream_map"):
+        stages.append(
+            lambda df: apply_stream_map(df, cfg["stream_map"], cfg.get("stream_map_config"))[0]
+        )
+    if cfg.get("flatten"):
+        level = int(cfg["flatten"].get("max_level", 1))
+        stages.append(lambda df: flatten(df, max_level=level))
+    if cfg.get("validate"):
+
+        def _validate(df: DataFrame) -> DataFrame:
+            validated = validate_records(df, cfg["validate"])
+            rep = enforce_threshold(
+                validated,
+                detect=bool(cfg.get("invalid_records_detect", True)),
+                threshold=int(cfg.get("invalid_records_threshold", 0)),
+            )
+            ok, quarantine = split_valid(validated)
+            if rep.invalid > 0 and quarantine_path:
+                # persist the rejected rows WITH their failure reasons —
+                # the quarantine side output the module contract promises
+                quarantine.write.mode("append").parquet(quarantine_path)
+            return ok
+
+        stages.append(_validate)
+    if cfg.get("add_metadata_columns"):
+        stages.append(
+            lambda df: inject_metadata_columns(df, extracted_at_col=cfg.get("extracted_at_col"))
+        )
+    if not stages:
+        return None
+
+    def transform(df: DataFrame) -> DataFrame:
+        for s in stages:
+            df = s(df)
+        return df
+
+    return transform
+
+
+def _run_sql_hooks(spark: SparkSession, statements: list[str] | None) -> None:
+    """before/after SQL hooks (targets/DatamillCoPostgres.java:159-168) —
+    run against whatever views the caller registered (stream tables)."""
+    for stmt in statements or []:
+        spark.sql(stmt)
+
+
+def _final_rows(table) -> int | None:
+    """Scan-free final count: parquet footer stats (exact when the table is
+    delta-free — every job path ends compacted). None means 'not derivable
+    without a full MOR resolve' — deliberately NOT computed (100 TB rule)."""
+    return table.row_count()
 
 
 def _struct_from_columns(columns: dict[str, str]) -> T.StructType:
@@ -66,14 +209,21 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     """Multi-stream catalog-driven sync — the reference's catalog.json path.
 
     ``cfg["catalog"]`` is a Singer discovery document
-    (models/DiscoverStreams.java:8-10); ``cfg["streams_configurations"]``
-    are selection rules applied with last-config-wins regex semantics
-    (services/SelectedService.java:13-68). Every SELECTED stream is demuxed
-    out of the shared raw artifact, pruned to its selected properties
-    (true column pruning before any shuffle), and merged into its own lake
-    table under ``tables_root/<stream>`` using the stream's replication
-    method. Per-stream record counts are reported like the reference's
-    per-stream metrics (JsonTest.java:61-62: 8 category + 4 region).
+    (models/DiscoverStreams.java:8-10) or the string ``"discover"`` to
+    bootstrap it from the raw artifact (the ``--discover`` run,
+    taps/AbstractPythonTap.java:149-163 — in-band SCHEMA messages win,
+    schema-less streams are inferred from their records).
+    ``cfg["streams_configurations"]`` are selection rules applied with
+    last-config-wins regex semantics (services/SelectedService.java:13-68).
+    Every SELECTED stream is demuxed out of the shared raw artifact, pruned
+    to its selected properties (true column pruning before any shuffle), and
+    merged into its own lake table under ``tables_root/<stream>`` using the
+    stream's replication method. LOG_BASED streams are epoch-fenced on
+    ``(checkpoint_id, epoch)`` so re-running the same artifact is a no-op,
+    and compacted after merge so tables stay read-optimized and counts come
+    from footer stats. Per-stream record counts are reported like the
+    reference's per-stream metrics (JsonTest.java:61-62: 8 category + 4
+    region).
     """
     from pyspark.sql import functions as F
 
@@ -81,25 +231,37 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     from plugin_singer_spark.catalog import (
         StreamsConfiguration,
         catalog_from_discovery,
+        discover_from_jsonl,
         fill,
         infer_metadata,
+        to_discovery_doc,
     )
     from plugin_singer_spark.ingest.pipeline import replay_cdc, sync_full_table, sync_incremental, seq_bookmark
+    from plugin_singer_spark.lake.merge import compact
     from plugin_singer_spark.lake.table import LakeTable
 
-    catalog = catalog_from_discovery(cfg["catalog"])
+    src = cfg["source"]
+    if cfg.get("catalog") in (None, "discover"):
+        catalog = discover_from_jsonl(spark, src["path"])
+    else:
+        catalog = catalog_from_discovery(cfg["catalog"])
     for s in catalog.streams:
         infer_metadata(s)  # bootstrap metadata for bare discovery docs
     catalog = fill(
         catalog,
         [StreamsConfiguration(**c) for c in cfg.get("streams_configurations", [])],
     )
-    src = cfg["source"]
+    if cfg.get("discover_only"):
+        return {"discovered": to_discovery_doc(catalog)}
     root = cfg["tables_root"]
     mode = cfg.get("write_mode", "mor")
+    checkpoint_id = cfg.get("checkpoint_id", "catalog")
+    epoch = int(cfg.get("epoch", 0))
+    persist_empty = bool(cfg.get("persist_empty_tables", True))
     env = messages.parse_lines(
         spark.read.text(src["path"]), line_col="value", seq_from_envelope=True
     )
+    transform = _build_transform(cfg, cfg.get("quarantine_path"))
 
     report: dict[str, Any] = {}
     for s in catalog.selected():
@@ -112,16 +274,29 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
         )
         recs = messages.records_for_stream(env, s.stream, struct, keep_envelope=("seq",))
         recs = recs.withColumn("op", F.coalesce(F.col("op"), F.lit("U")))
+        if transform is not None:
+            recs = transform(recs)
         tpath = os.path.join(root, s.stream)
-        tschema = T.StructType([f for f in struct.fields if f.name != "op"])
+        tschema = T.StructType([f for f in recs.schema.fields if f.name not in ("op", "seq")])
+        # keyless stream (e.g. discovered from raw records, where the source
+        # metadata that names PKs isn't available): full-row identity key —
+        # append-only semantics, like reference targets without a PK
+        # (primary_key_required=false, targets/PipelinewisePostgres.java:160)
+        keys = s.key_properties or [f.name for f in tschema.fields]
+        created = not LakeTable.exists(tpath)
         table = (
-            LakeTable(spark, tpath)
-            if LakeTable.exists(tpath)
-            else LakeTable.create(spark, tpath, tschema, s.key_properties, num_buckets=int(cfg.get("num_buckets", 8)))
+            LakeTable.create(spark, tpath, tschema, keys, num_buckets=int(cfg.get("num_buckets", 8)))
+            if created
+            else LakeTable(spark, tpath)
         )
         method, repl_key = s.replication()
         method = (method or cfg.get("replication_method", "LOG_BASED")).upper()
-        if method == "INCREMENTAL" and repl_key:
+        if method == "INCREMENTAL":
+            if not repl_key:
+                raise ValueError(
+                    f"stream {s.stream!r}: INCREMENTAL replication requires a "
+                    "replication-key (services/SelectedService.java:57-61)"
+                )
             rep = sync_incremental(
                 table, recs, replication_key=repl_key, stream=s.stream,
                 bookmark=seq_bookmark(table, s.stream),
@@ -129,45 +304,53 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
         elif method == "FULL_TABLE":
             rep = sync_full_table(table, recs, stream=s.stream)
         else:
-            rep = replay_cdc(table, recs, stream=s.stream, epoch=None, mode=mode)
+            rep = replay_cdc(
+                table, recs, stream=s.stream, epoch=epoch,
+                checkpoint_id=checkpoint_id, mode=mode,
+            )
+            compact(table, min_delta_files=1)
+        if rep.record_count == 0 and created and not persist_empty:
+            shutil.rmtree(tpath, ignore_errors=True)
+            report[s.stream] = {"events": 0, "table": None, "replication_method": method}
+            continue
+        table.read().createOrReplaceTempView(s.stream)  # lazy — for SQL hooks
         report[s.stream] = {
             "events": rep.record_count,
-            "final_rows": table.read().count(),
+            "final_rows": _final_rows(table),
             "table": tpath,
             "replication_method": method,
             "columns": [f.name for f in table.snapshot().schema.fields],
         }
+    _run_sql_hooks(spark, cfg.get("after_sql"))
     return {"streams": report}
 
 
 def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
-    if "catalog" in cfg:
+    if "catalog" in cfg or "tables_root" in cfg:
         return run_catalog_job(spark, cfg)
     from plugin_singer_spark.ingest.pipeline import sync_full_table, sync_incremental, seq_bookmark
-    from plugin_singer_spark.ingest.streaming import replay_files
-    from plugin_singer_spark.operators.streammap import apply_stream_map
-    from plugin_singer_spark.operators.validate import enforce_threshold, split_valid, validate_records
+    from plugin_singer_spark.ingest.streaming import replay_chunked, replay_files
+    from plugin_singer_spark.lake.table import LakeTable
 
-    table = _open_table(spark, cfg)
     src = cfg["source"]
     stream = src.get("stream", "repos")
     method = cfg.get("replication_method", "LOG_BASED").upper()
     mode = cfg.get("write_mode", "mor")
     checkpoint_id = cfg.get("checkpoint_id", "job")
+    tcfg = cfg["table"]
+    quarantine_path = cfg.get("quarantine_path") or (
+        tcfg["path"].rstrip("/") + "_quarantine" if cfg.get("validate") else None
+    )
+    transform = _build_transform(cfg, quarantine_path)
 
-    def load_batch_df():
-        df = spark.read.parquet(src["path"])
-        if cfg.get("stream_map"):
-            df, _ = apply_stream_map(df, cfg["stream_map"])
-        if cfg.get("validate"):
-            validated = validate_records(df, cfg["validate"])
-            enforce_threshold(
-                validated, detect=True, threshold=int(cfg.get("invalid_records_threshold", 0))
-            )
-            df, _quarantine = split_valid(validated)
-        return df
+    if cfg.get("before_sql"):
+        if LakeTable.exists(tcfg["path"]):
+            LakeTable(spark, tcfg["path"]).read().createOrReplaceTempView(stream)
+        _run_sql_hooks(spark, cfg["before_sql"])
 
-    if method == "LOG_BASED":
+    table = _open_table(spark, cfg)
+
+    if method == "LOG_BASED" and src.get("format", "parquet") in ("parquet", "jsonl"):
         record_schema = None
         if src.get("format", "parquet") == "jsonl":
             cols = dict(cfg["table"]["columns"])
@@ -183,13 +366,31 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             input_format=src.get("format", "parquet"),
             record_schema=record_schema,
             mode=mode,
+            transform=transform,
+        )
+        out = {"events": stats.events, "batches": stats.batches}
+    elif method == "LOG_BASED":
+        # generic/jdbc CDC source: a DataFrame of change events replayed in
+        # seq-range micro-batches through the same fenced merge
+        stats = replay_chunked(
+            table,
+            _load_source(spark, src),
+            batch_events=int(src.get("batch_events", 1_000_000)),
+            stream=stream,
+            checkpoint_id=checkpoint_id,
+            mode=mode,
+            final_compact=(mode == "mor"),
+            transform=transform,
         )
         out = {"events": stats.events, "batches": stats.batches}
     elif method == "INCREMENTAL":
         key = cfg["replication_key"]
+        df = _load_source(spark, src)
+        if transform is not None:
+            df = transform(df)
         rep = sync_incremental(
             table,
-            load_batch_df(),
+            df,
             replication_key=key,
             stream=stream,
             bookmark=seq_bookmark(table, stream),
@@ -197,8 +398,11 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
         )
         out = {"events": rep.record_count, "batches": 1}
     elif method == "FULL_TABLE":
+        df = _load_source(spark, src)
+        if transform is not None:
+            df = transform(df)
         rep = sync_full_table(
-            table, load_batch_df(), stream=stream, truncate=cfg.get("load_method", "truncate") == "truncate"
+            table, df, stream=stream, truncate=cfg.get("load_method", "truncate") == "truncate"
         )
         out = {"events": rep.record_count, "batches": 1}
     else:
@@ -209,9 +413,12 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             "stream": stream,
             "snapshot_version": table.current_version(),
             "bookmarks": table.bookmarks(),
-            "final_rows": table.read().count(),
+            "final_rows": _final_rows(table),
         }
     )
+    if cfg.get("after_sql"):
+        table.read().createOrReplaceTempView(stream)
+        _run_sql_hooks(spark, cfg["after_sql"])
     return out
 
 

@@ -361,7 +361,17 @@ class LakeTable:
             out = df.select("_bucket", *cols).repartition(n_part, probe_col)
         else:
             out = df.select("_bucket", *cols).repartition(n_part, "_bucket")
-        out.write.partitionBy("_bucket").mode("overwrite").parquet(out_abs)
+        # Pin INT64-micros timestamps for the write regardless of caller
+        # session conf: deprecated INT96 carries no column statistics, which
+        # would break stats()'s scan-free tombstone counting
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        prev_ts = self.spark.conf.get(ts_key, None)
+        self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            out.write.partitionBy("_bucket").mode("overwrite").parquet(out_abs)
+        finally:
+            if prev_ts is not None:
+                self.spark.conf.set(ts_key, prev_ts)
         files: dict[str, list[str]] = {}
         for dirpath, _dirnames, filenames in os.walk(out_abs):
             base = os.path.basename(dirpath)
@@ -386,6 +396,87 @@ class LakeTable:
         (idempotent). Upgrade over the reference's save-state-after-success
         (taps/AbstractPythonTap.java:104-106) which is only at-least-once."""
         return int(self.snapshot().properties.get("epochs", {}).get(checkpoint_id, -1))
+
+    # ---------- statistics (metadata-only, no Spark job) ----------
+
+    def stats(self, version: int | None = None) -> dict[str, Any]:
+        """Row statistics from parquet footers — O(files) metadata reads, no
+        table scan. ``live`` rows are non-tombstones, counted via the
+        ``_sdc_deleted_at`` null_count statistic every Spark parquet writer
+        emits. ``exact`` is True when the live base count IS the table count:
+        no delta files (base rows are one-per-key by MERGE construction) and
+        statistics present in every file. (Iceberg analog: manifest-level
+        record counts powering SELECT count(*) without a scan.)"""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return {"exact": False}
+        snap = self.snapshot(version)
+
+        def scan(m: dict[str, list[str]]) -> tuple[int, int, bool]:
+            total = live = 0
+            exact = True
+            for fs in m.values():
+                for rel in fs:
+                    md = pq.ParquetFile(self._abs(rel)).metadata
+                    total += md.num_rows
+                    idx = next(
+                        (j for j in range(md.num_columns) if md.schema.column(j).name == DELETED_AT),
+                        None,
+                    )
+                    if idx is None:
+                        live += md.num_rows  # pre-evolution file: no tombstones
+                        continue
+                    for i in range(md.num_row_groups):
+                        st = md.row_group(i).column(idx).statistics
+                        if st is None or st.null_count is None:
+                            exact = False
+                        else:
+                            live += st.null_count
+            return total, live, exact
+
+        base_rows, base_live, base_exact = scan(snap.files)
+        delta_rows, delta_live, _ = scan(snap.delta_files)
+        return {
+            "base_rows": base_rows,
+            "base_live_rows": base_live,
+            "delta_rows": delta_rows,
+            "delta_live_rows": delta_live,
+            "exact": base_exact and delta_rows == 0,
+        }
+
+    def lineage_df(self, version: int | None = None) -> DataFrame:
+        """Per-commit lineage as a queryable DataFrame — the engine's
+        ``_lineage`` table analog of Singer METRIC emission
+        (AbstractPythonSinger.java:307-357): one row per commit with mode,
+        stream, offset range, row counts and snapshot version. Lineage
+        records are tiny driver-side manifest entries; the DataFrame is for
+        joining/aggregating them alongside data queries."""
+        snap = self.snapshot(version)
+        schema = T.StructType(
+            [
+                T.StructField("mode", T.StringType()),
+                T.StructField("stream", T.StringType()),
+                T.StructField("epoch", T.LongType()),
+                T.StructField("offset_from", T.LongType()),
+                T.StructField("max_seq", T.LongType()),
+                T.StructField("source_rows", T.LongType()),
+                T.StructField("dedup_rows", T.LongType()),
+                T.StructField("touched_buckets", T.ArrayType(T.IntegerType())),
+            ]
+        )
+        rows = [
+            tuple(rec.get(f.name) for f in schema.fields)
+            for rec in snap.lineage
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def row_count(self) -> int | None:
+        """Exact live row count from footer stats when derivable without a
+        scan (delta-free table), else None — callers decide whether a full
+        read+LWW-resolve is worth it (on a 100 TB MOR table it is not)."""
+        s = self.stats()
+        return s["base_live_rows"] if s.get("exact") else None
 
     # ---------- maintenance ----------
 

@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # INT64 micros, not deprecated INT96: parquet writes real column
+        # statistics for timestamps, which (a) power LakeTable.stats()'s
+        # scan-free row counts via _sdc_deleted_at null_count and (b) let
+        # timestamp predicates prune row groups at the scan
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -206,3 +206,29 @@ def test_schema_evolution_mid_stream_replay(spark, tmp_path):
     rows = {r["categoryid"]: r["stars"] for r in final.collect()}
     assert rows[10] == 0 and rows[11] == 1
     assert all(rows[i] is None for i in range(3))  # null backfill on old rows
+
+
+def test_streaming_processing_time_trigger(spark, tmp_path, table):
+    """Time-based flush (batch_wait_limit_seconds analog,
+    targets/PipelinewiseSnowflake.java:300-304): a processingTime trigger
+    commits ≥2 fenced epochs, then the query is stopped externally."""
+    import time
+
+    binlog = generate_binlog(spark, BinlogSpec(num_events=2000, num_repos=8, paths_per_repo=20, num_partitions=4))
+    src_dir = str(tmp_path / "binlog")
+    binlog.write.parquet(src_dir)
+    q = stream_binlog(
+        spark, table, src_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, processing_time="500 milliseconds",
+        checkpoint_id="ptime",
+    )
+    deadline = time.time() + 120
+    while table.last_committed_epoch("ptime") < 1 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert table.last_committed_epoch("ptime") >= 1  # ≥2 fenced epochs committed
+    # 4 source files at maxFilesPerTrigger=2 ⇒ exactly 2 epochs, so a fence
+    # of ≥1 means the whole binlog landed — full parity must hold
+    exp = expected_final_state(binlog).select("repo", "path", F.sha2("content", 256).alias("h"))
+    got = table.read().select("repo", "path", F.sha2("content", 256).alias("h"))
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0

@@ -207,3 +207,34 @@ def test_bucket_probe_alignment(spark):
     assert len(b2p) == n
     assert all(len(ps) == 1 for ps in b2p.values())
     assert len({next(iter(ps)) for ps in b2p.values()}) == n
+
+
+def test_footer_stats_row_count(spark, table):
+    """Scan-free counts: exact via parquet footer null_count stats when the
+    table is delta-free; None (deliberately uncomputed) with live deltas."""
+    from plugin_singer_spark.lake.merge import compact, merge_append
+
+    merge_into(table, spark.createDataFrame(
+        [(1, "I", "r", "p", "c", "py", "v"), (2, "I", "r", "q", "c", "py", "w"),
+         (3, "D", "r", "q", "c", "py", None)], COLS))
+    s = table.stats()
+    assert s["exact"] and s["base_rows"] == 2 and s["base_live_rows"] == 1
+    assert table.row_count() == 1 == table.read().count()
+    merge_append(table, spark.createDataFrame([(4, "I", "r", "z", "c", "py", "x")], COLS))
+    assert table.row_count() is None  # live deltas — no scan-free answer
+    compact(table)
+    assert table.row_count() == 2 == table.read().count()
+
+
+def test_lineage_df_queryable(spark, table):
+    """_lineage analog of P20 metrics: per-commit records queryable as a
+    DataFrame (AbstractPythonSinger.java:307-357)."""
+    from plugin_singer_spark.ingest.pipeline import replay_cdc
+
+    replay_cdc(table, spark.createDataFrame(
+        [(1, "I", "r", "p", "c", "py", "v"), (2, "U", "r", "p", "c", "py", "v2")], COLS),
+        stream="repos", epoch=0, checkpoint_id="lin")
+    ldf = table.lineage_df()
+    row = ldf.filter(F.col("stream") == "repos").collect()[0]
+    assert row["source_rows"] == 2 and row["dedup_rows"] == 1 and row["epoch"] == 0
+    assert row["mode"].startswith("log_based")

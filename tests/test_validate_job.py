@@ -249,3 +249,181 @@ def test_catalog_multi_stream_job(spark, tmp_path):
     # pruned width: description deselected, internal _sdc_* cols excluded
     data_cols = [c for c in out["category"]["columns"] if not c.startswith("_sdc")]
     assert data_cols == ["categoryid", "categoryname"]
+
+
+def test_generic_source_adapter(spark, tmp_path):
+    """GenericTap analog (taps/GenericTap.java:28-77): a user-registered
+    reader callable flows through the full fenced replay/merge pipeline."""
+    from plugin_singer_spark.job import register_source, run_job
+
+    def my_reader(sp, src_cfg):
+        return sp.createDataFrame(
+            [(1, "I", "r1", "a.py", "c1", "py", "v1"),
+             (2, "U", "r1", "a.py", "c2", "py", "v2"),
+             (3, "D", "r1", "b.py", "c3", "py", None),
+             (4, "I", "r2", "x.md", "c4", "md", "m1")],
+            "seq long, op string, repo string, path string, commit string, lang string, content string",
+        )
+
+    register_source("my-tap", my_reader)
+    cfg = {
+        "table": {"path": str(tmp_path / "t"), "keys": ["repo", "path"], "num_buckets": 2,
+                  "columns": {c: "string" for c in ["repo", "path", "commit", "lang", "content"]}},
+        "source": {"format": "generic", "reader": "my-tap", "stream": "repos", "batch_events": 2},
+        "replication_method": "LOG_BASED",
+        "write_mode": "mor",
+        "checkpoint_id": "generic-test",
+    }
+    out = run_job(spark, cfg)
+    assert out["events"] == 4 and out["final_rows"] == 2
+    # rerun: fenced epochs, nothing re-ingested
+    out2 = run_job(spark, cfg)
+    assert out2["events"] == 0 and out2["final_rows"] == 2
+
+
+def test_generic_source_dotted_path(spark, tmp_path):
+    """'pkg.mod:fn' reader resolution — no registration needed."""
+    from plugin_singer_spark.job import _resolve_reader
+
+    fn = _resolve_reader("tests.sample_reader:read_sample")
+    assert fn(spark, {}).count() == 1
+
+
+def test_job_quarantine_persisted(spark, tmp_path):
+    """Invalid rows below the threshold land in the quarantine parquet with
+    their _errors reasons (DatamillCoPostgres.java:148-149 + module contract)."""
+    from plugin_singer_spark.job import run_job
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "x", 1), ("r2", "very-long-lang", "c2", "toolong!!", "y", 2)],
+        "repo string, path string, commit string, lang string, content string, seq long",
+    ).write.parquet(src)
+    qdir = str(tmp_path / "quar")
+    cfg = {
+        "table": {"path": str(tmp_path / "t"), "keys": ["repo", "path"], "num_buckets": 2,
+                  "columns": {c: "string" for c in ["repo", "path", "commit", "lang", "content"]}},
+        "source": {"format": "parquet", "path": src, "stream": "repos"},
+        "replication_method": "FULL_TABLE",
+        "validate": {"type": "object", "properties": {"lang": {"type": ["null", "string"], "maxLength": 8}}},
+        "invalid_records_threshold": 1,
+        "quarantine_path": qdir,
+    }
+    out = run_job(spark, cfg)
+    assert out["events"] == 1  # only the valid row loaded
+    quar = spark.read.parquet(qdir)
+    rows = quar.collect()
+    assert len(rows) == 1 and rows[0]["lang"] == "toolong!!" and "lang:maxLength" in rows[0]["_errors"]
+    # invalid_records_detect=false never raises even at threshold 0
+    cfg2 = dict(cfg, invalid_records_detect=False, invalid_records_threshold=0)
+    cfg2["table"] = dict(cfg["table"], path=str(tmp_path / "t2"))
+    run_job(spark, cfg2)
+
+
+def test_job_flatten_and_metadata_columns(spark, tmp_path):
+    """data_flattening_max_level + add_metadata_columns from job.json
+    (targets/PipelinewisePostgres.java:157,159)."""
+    from pyspark.sql import Row
+
+    from plugin_singer_spark.job import run_job
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(seq=1, key="k1", props=Row(a="x", b=Row(c="deep")))]
+    ).write.parquet(src)
+    cfg = {
+        "table": {"path": str(tmp_path / "t"), "keys": ["key"], "num_buckets": 2,
+                  "columns": {"key": "string"}},
+        "source": {"format": "parquet", "path": src, "stream": "s"},
+        "replication_method": "FULL_TABLE",
+        "flatten": {"max_level": 1},
+        "add_metadata_columns": True,
+    }
+    out = run_job(spark, cfg)
+    assert out["events"] == 1
+    from plugin_singer_spark.lake import LakeTable
+
+    cols = LakeTable(spark, cfg["table"]["path"]).read().columns
+    assert "props__a" in cols and "props__b" in cols  # depth-1 stop: b stays struct
+    assert "_sdc_extracted_at" in cols and "_sdc_loaded_at" in cols
+
+
+def test_catalog_job_discovery_bootstrap(spark, tmp_path):
+    """catalog='discover': schema bootstrapped from the raw artifact — SCHEMA
+    messages win, schema-less streams inferred from records
+    (taps/AbstractPythonTap.java:149-163)."""
+    import json as _json
+
+    from plugin_singer_spark.job import run_job
+
+    lines = (
+        [_json.dumps({"type": "SCHEMA", "stream": "category", "seq": 0,
+                      "key_properties": ["categoryid"],
+                      "schema": {"type": "object", "properties": {
+                          "categoryid": {"type": "integer"},
+                          "categoryname": {"type": ["null", "string"]}}}})]
+        + [_json.dumps({"type": "RECORD", "stream": "category", "seq": i,
+                        "record": {"categoryid": i, "categoryname": f"c{i}"}}) for i in range(1, 9)]
+        + [_json.dumps({"type": "RECORD", "stream": "region", "seq": 100 + i,
+                        "record": {"regionid": i, "regiondescription": f"r{i}"}}) for i in range(4)]
+    )
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text("\n".join(lines) + "\n")
+    cfg = {
+        "catalog": "discover",
+        "streams_configurations": [{"selected": True}],
+        "source": {"path": str(raw)},
+        "tables_root": str(tmp_path / "lake"),
+        "num_buckets": 2,
+        "checkpoint_id": "disc",
+    }
+    out = run_job(spark, cfg)["streams"]
+    assert out["category"]["events"] == 8 and out["region"]["events"] == 4
+    # discovered-from-records stream has inferred columns
+    assert "regiondescription" in out["region"]["columns"]
+    # epoch fence: replaying the same artifact is a no-op
+    out2 = run_job(spark, cfg)["streams"]
+    assert out2["category"]["events"] == 0 and out2["region"]["events"] == 0
+    assert out2["category"]["final_rows"] == 8
+
+
+def test_catalog_job_incremental_without_key_raises(spark, tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from plugin_singer_spark.job import run_job
+
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text(_json.dumps({"type": "RECORD", "stream": "s", "seq": 1, "record": {"x": 1}}) + "\n")
+    cfg = {
+        "catalog": {"streams": [{"stream": "s", "key_properties": ["x"],
+                                 "schema": {"type": "object", "properties": {"x": {"type": "integer"}}}}]},
+        "streams_configurations": [{"stream": "s", "selected": True, "replication_method": "INCREMENTAL"}],
+        "source": {"path": str(raw)},
+        "tables_root": str(tmp_path / "lake"),
+    }
+    with _pytest.raises(ValueError, match="replication-key"):
+        run_job(spark, cfg)
+
+
+def test_job_sql_hooks(spark, tmp_path):
+    """before/after SQL hooks (targets/DatamillCoPostgres.java:159-168)."""
+    from plugin_singer_spark.job import run_job
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "x", 1)],
+        "repo string, path string, commit string, lang string, content string, seq long",
+    ).write.parquet(src)
+    cfg = {
+        "table": {"path": str(tmp_path / "t"), "keys": ["repo", "path"], "num_buckets": 2,
+                  "columns": {c: "string" for c in ["repo", "path", "commit", "lang", "content"]}},
+        "source": {"format": "parquet", "path": src, "stream": "repos"},
+        "replication_method": "FULL_TABLE",
+        "before_sql": ["CREATE OR REPLACE TEMP VIEW hook_probe AS SELECT 1 AS ok"],
+        "after_sql": ["CREATE OR REPLACE TEMP VIEW hook_result AS SELECT count(*) AS n FROM repos"],
+    }
+    run_job(spark, cfg)
+    assert spark.sql("SELECT ok FROM hook_probe").collect()[0]["ok"] == 1
+    assert spark.sql("SELECT n FROM hook_result").collect()[0]["n"] == 1
