@@ -299,7 +299,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2)
+    """Exact Jaccard pairs with the hot-shingle df-cut active (shingles in
+    >100 docs dropped before the self-join — the 100 TB skew guard)."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2, max_doc_freq=100
+    )
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,9 +379,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs — the verify/oracle variant (cross join;
+    the scale path is q_embedding_neardup_lsh)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, exact=True)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs — the flagship 100 TB path (hyperplane
+    buckets + candidate-local verify, never all-pairs). Rows-only driver
+    check; recall vs the exact variant asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, planes=4, tables=8, exact=False)
 
 
 def q_stream_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "stream_map": q_stream_map,
         "record_validation": q_record_validation,
         "multimodal_features": q_multimodal_features,
@@ -554,10 +570,12 @@ WITH ranked AS (
 SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1""",
         "ngram_jaccard_pairs": f"""
 WITH {shingle_cte},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+df_cut AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_cut USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
@@ -685,8 +703,8 @@ SELECT doc_id,
        sha256(text) AS media_sha256,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents""",
-        # minhash_lsh_pairs, ann_lsh_topk: rows-only (probabilistic LSH
-        # recall — verified against the exact variants in pytest instead)
+        # minhash_lsh_pairs, ann_lsh_topk, embedding_neardup_lsh: rows-only
+        # (probabilistic LSH recall — verified vs the exact variants in pytest)
     }
 
 

@@ -132,8 +132,10 @@ def main() -> None:
         "orders_rollup",
         "token_stats",
         "minhash_signatures",
+        "minhash_lsh_pairs",
         "simhash",
-        "ann_topk",
+        "ann_lsh_topk",  # the LSH scale path is the benched query; the
+        "embedding_neardup_lsh",  # exact variants stay pytest recall oracles
         "exact_dedup",
     ]
     qs = entry.queries()

@@ -41,20 +41,42 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
     return sh
 
 
+def filter_hot_shingles(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop shingles occurring in more than ``max_doc_freq`` documents.
+
+    THE skew guard for shingle self-joins: one stop-phrase shingle shared by
+    10^6 docs fans a shingle-equality join out to 10^12 pairs. The hot set
+    is by definition tiny (the high-frequency head), so it broadcasts, and
+    removing near-universal shingles barely moves Jaccard (they carry no
+    discriminating signal — the standard df-cut from near-dup literature).
+    """
+    if max_doc_freq is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b) over word n-gram shingle sets.
 
     Plan: explode → self-join on shingle (skew-prone: a common shingle fans
-    out; at scale, drop top-frequency shingles first — see ``max_doc_freq``
-    hint in minhash_lsh_pairs) → count intersections → filter by Jaccard.
+    out — ``max_doc_freq`` drops hot shingles first, bounding the fan-out) →
+    count intersections → filter by Jaccard. Sizes are computed on the same
+    filtered shingle set so the Jaccard stays internally consistent.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = filter_hot_shingles(shingle_table(df, id_col, text_col, n), max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -107,6 +129,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     verify: bool = True,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding: docs agreeing on any full
     band of num_hashes/bands min-hashes become candidates; candidates are
@@ -139,7 +162,10 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = shingle_table(df, id_col, text_col, n)
+    # hot-shingle cut applies to the verify-stage intersection join (the
+    # shingle-equality join); signatures stay unfiltered — banding is
+    # already linear and the cut would shift min-hashes
+    sh = filter_hot_shingles(shingle_table(df, id_col, text_col, n), max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sh_b")

@@ -152,19 +152,28 @@ def embedding_neardup_pairs(
     dim: int,
     threshold: float = 0.95,
     planes: int = 6,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) by cosine ≥ threshold. ``exact=True``
-    does the all-pairs join (verify/oracle path); default buckets by LSH
-    first (generator path)."""
+    does the all-pairs join (verify/oracle path); default buckets by
+    multi-table LSH first (generator path): a pair is a candidate when it
+    collides in ANY of ``tables`` independent hyperplane sets, then exact
+    cosine restores precision. Recall ≈ 1-(1-c^planes)^tables where c is
+    the per-plane collision prob (1 - θ/π); more planes shrink buckets
+    (cost), more tables recover recall — at 100 TB tune planes up with
+    corpus size and keep tables fixed."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if exact:
         a, b = v.alias("a"), v.alias("b")
         pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
     else:
-        vb = v.withColumn("bucket", lsh_bucket(F.col("v"), dim, planes))
+        buckets = [
+            lsh_bucket(F.col("v"), dim, planes, t) + F.lit(t * (2**planes)) for t in range(tables)
+        ]
+        vb = v.withColumn("bucket", F.explode(F.array(*buckets)))
         a, b = vb.alias("a"), vb.alias("b")
         pairs = a.join(b, on="bucket").filter(F.col("a.id") < F.col("b.id"))
     return (

@@ -218,3 +218,36 @@ def test_frame_sample_plan(spark):
     rows = frame_sample_plan(df, every_ms=1000).collect()
     got = sorted((r["doc_id"], r["frame_ts_ms"]) for r in rows)
     assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)]
+
+
+def test_hot_shingle_filter(spark):
+    """max_doc_freq drops near-universal shingles: a pair whose only overlap
+    is the hot shingle disappears; genuinely similar pairs survive."""
+    from plugin_singer_spark.operators import dedup as dd
+
+    hot = "standard legal boilerplate footer"  # in EVERY doc → df-cut target
+    rows = [
+        (1, f"the quick brown fox jumps high {hot}"),
+        (2, f"the quick brown fox jumps low {hot}"),   # near-dup of 1
+        (3, f"completely different words here entirely {hot}"),
+        (4, f"nothing alike whatsoever in this text {hot}"),  # 3↔4 share ONLY the boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    before = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.05).collect()}
+    after = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.05, max_doc_freq=3).collect()}
+    assert (3, 4) in before
+    assert (3, 4) not in after           # hot-shingle-only pair dropped
+    assert (1, 2) in before and (1, 2) in after  # real near-dup survives
+
+
+def test_embedding_neardup_lsh_recall(spark, emb):
+    """LSH-bucketed near-dup recall vs the exact cross-join variant."""
+    from plugin_singer_spark.operators import similarity as sim
+
+    dim = len(emb.select("embedding").first()[0])
+    exact = {(r.id_a, r.id_b) for r in sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, exact=True).collect()}
+    lsh = {(r.id_a, r.id_b) for r in sim.embedding_neardup_pairs(
+        emb, dim=dim, threshold=0.35, planes=4, tables=8, exact=False).collect()}
+    assert lsh.issubset(exact)  # verify stage restores precision
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.5  # bucketing recall floor
