@@ -100,6 +100,26 @@ def main() -> None:
     table = LakeTable.create(spark, os.path.join(root, "repos"), schema, ["repo", "path"], num_buckets=num_buckets)
 
     files_per_batch = max(1, 64 * batch_events // max(events, 1))
+
+    # ---- warmup (untimed): one small replay+compact into a throwaway table
+    # compiles every codegen path, loads the parquet writer, and primes the
+    # bucket-probe cache — so the TIMED epochs measure steady-state work,
+    # not first-epoch JIT (standard JVM benchmarking practice, documented in
+    # BENCH/BASELINE.md). BENCH_WARMUP=0 disables.
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        t0 = time.time()
+        wroot = tempfile.mkdtemp(prefix="bench_warm_")
+        wtable = LakeTable.create(
+            spark, os.path.join(wroot, "repos"), schema, ["repo", "path"], num_buckets=num_buckets
+        )
+        replay_files(
+            spark, wtable, jsonl_dir, files_per_batch=2, checkpoint_id="warm",
+            input_format="jsonl", record_schema=record_schema, mode=mode,
+            final_compact=(mode == "mor"), max_batches=1,
+            **({"dedup": dedup} if mode == "mor" else {}),
+        )
+        shutil.rmtree(wroot, ignore_errors=True)
+        timings["warmup"] = round(time.time() - t0, 3)
     t0 = time.time()
     stats = replay_files(
         spark,
@@ -116,10 +136,18 @@ def main() -> None:
     )
     replay_sec = time.time() - t0
     timings["cdc_replay"] = round(replay_sec, 3)
+    timings["final_compact"] = stats.final_compact_sec
     events_per_sec = stats.events / replay_sec if replay_sec > 0 else 0.0
-    # steady-state throughput: best single epoch (first epoch carries JIT
-    # warmup; shared-VM interference bursts inflate others) — the scaling
-    # bench compares THIS across parallelism levels
+    # THREE estimators, most conservative first:
+    #  - wall-clock: whole replay incl. scheduling gaps + final compaction
+    #  - amortized: epoch work + ALL compaction (mid-replay compactions are
+    #    inside their epoch's time; the final one is added explicitly) — the
+    #    honest sustained rate for a long-running MOR replay, and the
+    #    HEADLINE value
+    #  - best-epoch: peak micro-batch rate (excludes compacting epochs and
+    #    interference bursts) — reported alongside, never the headline
+    work_sec = sum(stats.epoch_secs) + stats.final_compact_sec
+    amortized_eps = stats.events / work_sec if work_sec > 0 else 0.0
     steady_eps = max(
         (rep.record_count / s for rep, s in zip(stats.reports, stats.epoch_secs) if s > 0),
         default=0.0,
@@ -144,17 +172,20 @@ def main() -> None:
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
-    final_rows = table.read().count()
+    final_rows = table.row_count()  # footer stats (exact after compaction)
+    if final_rows is None:
+        final_rows = table.read().count()
     snapshot = table.current_version()
     print(
         json.dumps(
             {
-                # headline = SUSTAINED upsert throughput (north rule wording):
-                # best micro-batch epoch — excludes the first-epoch JIT/codegen
-                # warmup a long-running replay amortizes to zero; whole-run
-                # wall-clock ev/s (incl. warmup + final compaction) alongside
-                "metric": "cdc_replay_events_per_sec_sustained",
-                "value": round(steady_eps, 1),
+                # headline = SUSTAINED upsert throughput with ALL compaction
+                # amortized in (epoch work + mid-replay + final compactions;
+                # JIT warmup runs untimed before the measurement). Best-epoch
+                # peak and whole-run wall-clock reported alongside.
+                "metric": "cdc_replay_events_per_sec_sustained_amortized",
+                "value": round(amortized_eps, 1),
+                "value_best_epoch": round(steady_eps, 1),
                 "value_wall_clock": round(events_per_sec, 1),
                 "unit": "events/sec",
                 "elapsed_total_sec": total,
@@ -166,6 +197,8 @@ def main() -> None:
                     "events": stats.events,
                     "batches": stats.batches,
                     "epoch_secs": stats.epoch_secs,
+                    "final_compact_sec": stats.final_compact_sec,
+                    "amortized_events_per_sec": round(amortized_eps, 1),
                     "steady_events_per_sec": round(steady_eps, 1),
                     "final_rows": final_rows,
                     "snapshot": snapshot,

@@ -39,8 +39,12 @@ class ReplayStats:
     reports: list[IngestReport] = field(default_factory=list)
     # wall seconds per committed epoch — min over epochs is the steady-state
     # throughput estimator used by the scaling bench (first epoch carries
-    # JIT/codegen warmup; interference bursts inflate individual epochs)
+    # JIT/codegen warmup; interference bursts inflate individual epochs).
+    # Mid-replay compactions (compact_every) are inside their epoch's time;
+    # the end-of-replay compaction is timed separately so callers can
+    # amortize it into throughput instead of silently excluding it.
     epoch_secs: list[float] = field(default_factory=list)
+    final_compact_sec: float = 0.0
 
 
 def replay_chunked(
@@ -220,7 +224,9 @@ def replay_files(
             compact(table, min_delta_files=max(1, compact_every))
         stats.epoch_secs.append(round(_time.time() - _t0, 3))
     if mode == "mor" and final_compact:
+        _t0 = _time.time()
         compact(table, min_delta_files=1)
+        stats.final_compact_sec = round(_time.time() - _t0, 3)
     return stats
 
 

@@ -1,11 +1,19 @@
 """Scaling-efficiency evidence (north rule): run the identical CDC replay at
 two parallelism levels (N and 4N cores) on the identical deterministic
-binlog, report throughput at each and efficiency = (T_N / T_4N) / 4.
+binlog, report throughput at each and efficiency = (eps_4N / eps_N) / 4.
+
+Three estimators per level, most conservative first:
+- wall-clock: whole replay (epoch gaps + all compaction), min over repeats
+- amortized: epoch work + all compaction (JIT warmup runs untimed first)
+- best-epoch: peak micro-batch rate (excludes compaction + bursts)
+
+The PASS flag is conservative: BOTH the amortized and wall-clock
+efficiencies must clear 0.8 (best-epoch is reported, never gates).
 
 Measurement protocol for this noisy shared VM: the binlog is generated ONCE
 and replayed by every run; each level runs ``repeats`` times in alternating
-order (4N, N, N, 4N, ...) and the MIN time per level is reported — min is
-the standard estimator when interference is strictly additive.
+order (4N, N, N, 4N, ...); min time / max throughput per level is the
+estimator (standard when interference is strictly additive).
 
 Writes BENCH/BASELINE.md. Usage:
   python scripts/bench_scaling.py [N] [events] [repeats]
@@ -28,7 +36,7 @@ def run_level(cpus: int, events: int, binlog_dir: str) -> dict:
         BENCH_ONLY_REPLAY="1",
         BENCH_BINLOG_DIR=binlog_dir,
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
-        BENCH_BATCH_EVENTS=os.environ.get("BENCH_BATCH_EVENTS", str(max(events // 4, 500_000))),
+        BENCH_BATCH_EVENTS=os.environ.get("BENCH_BATCH_EVENTS", str(max(events // 8, 500_000))),
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -53,7 +61,7 @@ def main() -> None:
     # clean N vs 4N hardware window is 2→8; higher levels are reported as
     # a ladder in BENCH/BASELINE.md for transparency.
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    events = int(sys.argv[2]) if len(sys.argv) > 2 else int(os.environ.get("BENCH_EVENTS", "2000000"))
+    events = int(sys.argv[2]) if len(sys.argv) > 2 else int(os.environ.get("BENCH_EVENTS", "4000000"))
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     binlog_dir = os.environ.get("BENCH_BINLOG_DIR") or tempfile.mkdtemp(prefix="bench_binlog_shared_")
     runs: dict[int, list[dict]] = {n: [], 4 * n: []}
@@ -64,38 +72,46 @@ def main() -> None:
         runs[cpus].append(run_level(cpus, events, binlog_dir))
         r = runs[cpus][-1]
         print(
-            f"  local[{cpus}]: {r['queries']['cdc_replay']}s  epochs={r['replay']['epoch_secs']}",
+            f"  local[{cpus}]: wall={r['queries']['cdc_replay']}s amortized={r['value']} "
+            f"best={r['value_best_epoch']} epochs={r['replay']['epoch_secs']} "
+            f"compact={r['replay']['final_compact_sec']}s",
             file=sys.stderr,
         )
 
-    def steady(rs):  # best epoch throughput across all runs of a level
-        return max(r["replay"]["steady_events_per_sec"] for r in rs)
+    def best(rs, key):  # max throughput across a level's runs
+        return max(r[key] for r in rs)
 
     def wall(rs):
         return min(r["queries"]["cdc_replay"] for r in rs)
 
-    s_lo, s_hi = steady(runs[n]), steady(runs[4 * n])
+    a_lo, a_hi = best(runs[n], "value"), best(runs[4 * n], "value")
+    s_lo, s_hi = best(runs[n], "value_best_epoch"), best(runs[4 * n], "value_best_epoch")
     t_lo, t_hi = wall(runs[n]), wall(runs[4 * n])
-    eff = (s_hi / s_lo) / 4
+    eff_amort = (a_hi / a_lo) / 4
+    eff_best = (s_hi / s_lo) / 4
     eff_wall = (t_lo / t_hi) / 4
+    meets = eff_amort >= 0.8 and eff_wall >= 0.8
     result = {
         "events": events,
         "repeats": repeats,
         f"local[{n}]": {
-            "steady_events_per_sec": s_lo,
+            "amortized_events_per_sec": a_lo,
+            "best_epoch_events_per_sec": s_lo,
             "wall_sec_min": t_lo,
             "all_sec": [r["queries"]["cdc_replay"] for r in runs[n]],
             "all_epochs": [r["replay"]["epoch_secs"] for r in runs[n]],
         },
         f"local[{4*n}]": {
-            "steady_events_per_sec": s_hi,
+            "amortized_events_per_sec": a_hi,
+            "best_epoch_events_per_sec": s_hi,
             "wall_sec_min": t_hi,
             "all_sec": [r["queries"]["cdc_replay"] for r in runs[4 * n]],
             "all_epochs": [r["replay"]["epoch_secs"] for r in runs[4 * n]],
         },
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_amortized": round(eff_amort, 3),
         "scaling_efficiency_wall": round(eff_wall, 3),
-        "meets_north_rule_0.8": eff >= 0.8,
+        "scaling_efficiency_best_epoch": round(eff_best, 3),
+        "meets_north_rule_0.8": meets,
     }
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
@@ -108,21 +124,25 @@ skewed: mega-repo ≈20% of events, generated once and replayed by every
 run), two parallelism levels — the sandbox stand-in for N vs 4N executors
 (`BASELINE.json` north_rule). {repeats} runs per level, alternating order.
 
-**Estimator**: steady-state throughput = best single micro-batch epoch per
-level (events / epoch wall-sec, max over all epochs × runs). The first
-epoch of each fresh JVM carries JIT/codegen warmup, and this shared VM
-shows multi-minute cross-tenant interference bursts (observed 3-10×
-inflation of identical work); per-epoch max-throughput is the standard
-min-time estimator applied at micro-batch granularity. Whole-replay
-wall-clock minima are reported alongside for transparency.
+**Estimators** (per level, best run):
+- *wall-clock*: whole replay incl. every compaction — min over runs.
+- *amortized*: epoch work + all compaction; JIT warmup runs untimed before
+  the measured window (a one-file replay+compact into a throwaway table).
+- *best-epoch*: peak single micro-batch rate — reported for transparency,
+  excluded from the pass decision (it structurally skips compaction cost).
 
-| level | steady events/sec | wall sec (min) | all runs (sec) |
-|---|---|---|---|
-| local[{n}] | {s_lo:,.0f} | {t_lo} | {result[f'local[{n}]']['all_sec']} |
-| local[{4*n}] | {s_hi:,.0f} | {t_hi} | {result[f'local[{4*n}]']['all_sec']} |
+| level | amortized ev/s | best-epoch ev/s | wall sec (min) | all runs (sec) |
+|---|---|---|---|---|
+| local[{n}] | {a_lo:,.0f} | {s_lo:,.0f} | {t_lo} | {result[f'local[{n}]']['all_sec']} |
+| local[{4*n}] | {a_hi:,.0f} | {s_hi:,.0f} | {t_hi} | {result[f'local[{4*n}]']['all_sec']} |
 
-**Scaling efficiency** (steady) = (eps_4N / eps_N) / 4 = **{eff:.3f}**
-(target ≥ 0.8); whole-run wall-clock efficiency = {eff_wall:.3f}.
+**Scaling efficiency** = (eps_4N / eps_N) / 4:
+- amortized: **{eff_amort:.3f}**
+- wall-clock: **{eff_wall:.3f}**
+- best-epoch: {eff_best:.3f}
+
+**North-rule pass (≥0.8, conservative = amortized AND wall must clear):
+{'MET' if meets else 'NOT MET'}.**
 
 Per-epoch seconds, every run:
 - local[{n}]: {result[f'local[{n}]']['all_epochs']}
