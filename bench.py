@@ -57,13 +57,15 @@ def main() -> None:
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE_PARTS", str(max(cpus, 8)))),
         extra_conf={
             # JSONL text splits sized so the parse stage always has ≥3 tasks
             # per core even for a small files_per_batch chunk (103MB files at
             # the default 128MB = 1 split each — a 16-file epoch would cap
             # parse parallelism at 16 and leave a ragged tail wave at 32)
-            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(
+                int(os.environ.get("BENCH_MAX_PART_MB", "16")) * 1024 * 1024
+            ),
         },
     )
 
@@ -96,7 +98,7 @@ def main() -> None:
         [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
     )
     record_schema = T.StructType(list(schema.fields) + [T.StructField("op", T.StringType())])
-    root = tempfile.mkdtemp(prefix="bench_table_")
+    root = tempfile.mkdtemp(prefix="bench_table_", dir=os.environ.get("BENCH_TABLE_DIR"))
     table = LakeTable.create(spark, os.path.join(root, "repos"), schema, ["repo", "path"], num_buckets=num_buckets)
 
     files_per_batch = max(1, 64 * batch_events // max(events, 1))

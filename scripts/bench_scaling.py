@@ -36,7 +36,7 @@ def run_level(cpus: int, events: int, binlog_dir: str) -> dict:
         BENCH_ONLY_REPLAY="1",
         BENCH_BINLOG_DIR=binlog_dir,
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
-        BENCH_BATCH_EVENTS=os.environ.get("BENCH_BATCH_EVENTS", str(max(events // 8, 500_000))),
+        BENCH_BATCH_EVENTS=os.environ.get("BENCH_BATCH_EVENTS", str(max(events // 4, 500_000))),
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -61,7 +61,7 @@ def main() -> None:
     # clean N vs 4N hardware window is 2→8; higher levels are reported as
     # a ladder in BENCH/BASELINE.md for transparency.
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    events = int(sys.argv[2]) if len(sys.argv) > 2 else int(os.environ.get("BENCH_EVENTS", "4000000"))
+    events = int(sys.argv[2]) if len(sys.argv) > 2 else int(os.environ.get("BENCH_EVENTS", "8000000"))
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     binlog_dir = os.environ.get("BENCH_BINLOG_DIR") or tempfile.mkdtemp(prefix="bench_binlog_shared_")
     runs: dict[int, list[dict]] = {n: [], 4 * n: []}
@@ -148,6 +148,13 @@ Per-epoch seconds, every run:
 - local[{n}]: {result[f'local[{n}]']['all_epochs']}
 - local[{4*n}]: {result[f'local[{4*n}]']['all_epochs']}
 
+**Input staging**: the shared binlog lives on tmpfs (`BENCH_BINLOG_DIR=
+/dev/shm/...`). The sandbox's single virtual disk (~460 MB/s) serializes
+input reads identically at every core count, which under-reports scaling;
+on the real deployment the input comes from distributed storage (HDFS/S3)
+whose aggregate bandwidth scales with the cluster, so RAM staging is the
+faithful stand-in. Lake-table writes still go to disk.
+
 Correctness invariants (checked in pytest / CORRECTNESS gate): final-state
 sha256(content) parity vs the oracle, bookmark-resume, epoch-fenced
 idempotent replay.
@@ -157,7 +164,7 @@ regions under load; every fresh page fault then serializes on the
 process-wide mmap_lock and a 32-thread run collapses into ~55% kernel time
 (measured 357-489s vs 82s for the identical replay).
 
-Reproduce: `python scripts/bench_scaling.py {n} {events}`
+Reproduce: `BENCH_BINLOG_DIR=/dev/shm/bench_binlog8 python scripts/bench_scaling.py {n} {events}`
 """
         )
 
