@@ -136,9 +136,14 @@ def lsh_topk(
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")).withColumn(
         "bucket", F.explode(F.array(*probes))
     )
-    scored = q.join(c, on="bucket").select(
-        "query_id", "vec_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim")
-    ).dropDuplicates(["query_id", "vec_id"])
+    # dedup (query, candidate) BEFORE the cosine: a pair colliding in k
+    # tables/probes would otherwise pay the dim-wide fold k times; the
+    # dedup shuffle carries the vectors so no join-back is needed
+    scored = (
+        q.join(c, on="bucket")
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -175,7 +180,26 @@ def embedding_neardup_pairs(
         ]
         vb = v.withColumn("bucket", F.explode(F.array(*buckets)))
         a, b = vb.alias("a"), vb.alias("b")
-        pairs = a.join(b, on="bucket").filter(F.col("a.id") < F.col("b.id"))
+        # dedup candidate pairs BEFORE the cosine (a pair colliding in k
+        # tables would pay the dim-wide fold k times); vectors ride the
+        # dedup shuffle so no join-back is needed
+        pairs = (
+            a.join(b, on="bucket")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("_va"),
+                F.col("b.v").alias("_vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            pairs.select(
+                "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
     return (
         pairs.select(
             F.col("a.id").alias("id_a"),
