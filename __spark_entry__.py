@@ -583,10 +583,14 @@ FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.2""",
         "minhash_signatures": f"""
 WITH {shingle_cte},
+hh AS (
+  SELECT doc_id,
+         {HASH64_SQL.format(x="shingle")} AS h1,
+         {HASH64_SQL.format(x="concat('km:', shingle)")} % 72057594037927936 AS h2
+  FROM sh),
 hashed AS (
-  SELECT doc_id, i AS hidx,
-         {HASH64_SQL.format(x="concat(CAST(i AS VARCHAR), ':', shingle)")} AS h
-  FROM sh, range(0, 16) r(i)),
+  SELECT doc_id, i AS hidx, h1 + i * h2 AS h
+  FROM hh, range(0, 16) r(i)),
 mins AS (SELECT doc_id, hidx, min(h) AS minh FROM hashed GROUP BY doc_id, hidx)
 SELECT doc_id,
        array_to_string(list(CAST(minh AS VARCHAR) ORDER BY hidx), ',') AS signature

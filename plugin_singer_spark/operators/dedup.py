@@ -96,20 +96,37 @@ def ngram_jaccard_pairs(
     return out
 
 
+# Kirsch-Mitzenmacher double hashing: h_i = h1 + i·(h2 mod 2^56). Bounds:
+# h1 < 2^60 (15 hex digits), i ≤ 63 ⇒ i·h2b < 2^62, sum < 2^63 — never
+# overflows a signed 64-bit int, so Spark and DuckDB agree bit-for-bit.
+_H2_MOD = 2**56
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """K min-hashes per document: h_i(s) = hash64(i || ':' || shingle).
+    """K min-hashes per document via Kirsch-Mitzenmacher double hashing:
+    h_i(s) = h1(s) + i·h2(s) — TWO md5 evaluations per shingle instead of K
+    (the standard construction; preserves minhash collision statistics).
 
-    Cost model: |shingles| × K rows through one partial-aggregated groupBy —
-    linear in corpus size, the canonical 100 TB shape. Returns
+    Cost model: |shingles| × (2 md5 + K adds) through one partial-aggregated
+    groupBy — linear in corpus size, the canonical 100 TB shape. Returns
     (id, signature: array<long> ordered by hash index)."""
+    assert num_hashes <= 64, "i·h2 bound holds for ≤64 hash functions"
     sh = shingle_table(df, id_col, text_col, n)
+    # materialize h1/h2 as real columns BEFORE the transform so the two md5
+    # evaluations happen once per shingle (inside a lambda they could be
+    # re-evaluated per array element)
+    hh = sh.select(
+        "id",
+        hash64(F.col("shingle")).alias("_h1"),
+        F.pmod(hash64(F.concat(F.lit("km:"), F.col("shingle"))), F.lit(_H2_MOD)).alias("_h2"),
+    )
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    hashed = sh.select(
+    hashed = hh.select(
         "id",
         F.posexplode(
-            F.transform(seeds, lambda i: hash64(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))))
+            F.transform(seeds, lambda i: F.col("_h1") + i.cast("long") * F.col("_h2"))
         ).alias("hidx", "h"),
     )
     mins = hashed.groupBy("id", "hidx").agg(F.min("h").alias("minh"))
