@@ -57,12 +57,15 @@ def lww_dedup(
     increasing change-sequence; late data has lower seq and simply loses,
     which is why no watermark is needed: see SURVEY §2.2 late-data row).
 
-    Hash aggregation (``max_by`` over the packed row), NOT a sort window:
-    Catalyst's partial aggregation combines map-side, so the shuffle carries
-    at most one row per key per input partition and nothing is sorted —
-    measured ~3× faster than ``row_number()`` at 10^7 rows. ``with_count``
-    carries the pre-dedup group size in ``_src_n`` so callers can report raw
-    event counts without a second scan."""
+    ``max_by`` over the packed row, NOT a sort window: Catalyst's partial
+    aggregation combines map-side, so the shuffle carries at most one row
+    per key per input partition — measured ~3× faster than ``row_number()``
+    at 10^7 rows. (Physically it is a SortAggregate — struct-typed
+    aggregation buffers aren't hash-aggregable — but the sorts are
+    partition-local over already-combined runs, unlike the window variant's
+    full shuffle of every raw row.) ``with_count`` carries the pre-dedup
+    group size in ``_src_n`` so callers can report raw event counts without
+    a second scan."""
     data_cols = list(df.columns)
     agg = df.groupBy(*key_columns).agg(
         F.max_by(F.struct(*[F.col(c) for c in data_cols]), F.col(seq_col).cast("long")).alias("_row"),

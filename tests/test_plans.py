@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in `.explain` — filter pushdown to the parquet scan, column pruning
+in ReadSchema, whole-stage codegen on the hot paths, and no Python in the
+row path (BASELINE input_hint)."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from plugin_singer_spark.lake import LakeTable, merge_into
+
+REPOS = T.StructType([T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]])
+COLS = "seq long, op string, repo string, path string, commit string, lang string, content string"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_filter_pushes_to_scan(spark, tmp_path):
+    """The bookmark filter must reach the parquet scan as a pushed filter —
+    the engine-side analog of the tap's source-side WHERE
+    (taps/BigQuery.java:136-140; Catalyst PushDownPredicates)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(i, f"r{i}") for i in range(100)], "seq long, repo string").write.parquet(src)
+    df = spark.read.parquet(src).filter(F.col("seq") > 42)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "GreaterThan(seq,42)" in plan
+
+
+def test_selection_prunes_read_schema(spark, tmp_path):
+    """Property selection is true column pruning: the scan's ReadSchema
+    carries only selected columns (SelectedService semantics → select list,
+    services/SelectedService.java:34-42)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", "b", "c")], "seq long, keep1 string, keep2 string, dropped string"
+    ).write.parquet(src)
+    df = spark.read.parquet(src).select("keep1", "keep2")
+    plan = plan_of(df)
+    assert "keep1" in plan and "dropped" not in plan.split("ReadSchema")[1]
+
+
+def test_lake_read_pushes_tombstone_filter(spark, tmp_path):
+    """The default read's tombstone filter is a plain parquet-pushable
+    predicate on a compacted table — not a post-scan Python filter."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), REPOS, ["repo", "path"], num_buckets=2)
+    merge_into(t, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v")], COLS))
+    plan = plan_of(t.read())
+    assert "PushedFilters: [IsNull(_sdc_deleted_at)]" in plan
+
+
+def test_no_python_udf_in_merge_plan(spark, tmp_path):
+    """BASELINE input_hint: no per-row Python anywhere in the merge path —
+    the executed plan must not contain BatchEvalPython/PythonUDF nodes,
+    and the scan side runs inside whole-stage codegen."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), REPOS, ["repo", "path"], num_buckets=2)
+    merge_into(t, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v")], COLS))
+    plan = plan_of(t.read())
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert "*(1)" in plan
+
+
+def test_lww_dedup_is_partial_aggregated(spark):
+    """The LWW combine must run as an aggregate with a map-side partial pass
+    — the shuffle carries ≤1 row per key per input partition — and exchange
+    on the key columns, not as a global sort window."""
+    from plugin_singer_spark.lake.merge import lww_dedup
+
+    df = spark.createDataFrame(
+        [(i, "r", f"p{i % 3}", f"v{i}") for i in range(100)],
+        "seq long, repo string, path string, content string",
+    )
+    out = lww_dedup(df, ["repo", "path"])
+    out.collect()  # AQE finalizes the plan on execution
+    plan = plan_of(out)
+    assert "partial_max_by" in plan  # map-side combine before the exchange
+    assert "Exchange hashpartitioning(repo" in plan
+    assert "Window" not in plan  # not the row_number() formulation
+
+
+def test_parse_path_is_jvm_only(spark):
+    """The JSONL envelope parse (json_tuple + from_json) stays JVM-side."""
+    from plugin_singer_spark import messages
+
+    lines = spark.createDataFrame(
+        [('{"type":"RECORD","stream":"s","seq":1,"record":{"repo":"r"}}',)], ["value"]
+    )
+    struct = T.StructType([T.StructField("repo", T.StringType())])
+    plan = plan_of(messages.parse_records_lean(lines, "s", struct, line_col="value"))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
