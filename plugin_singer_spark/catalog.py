@@ -65,13 +65,18 @@ class MetadataNode:
 
 @dataclass
 class StreamsConfiguration:
-    """models/StreamsConfiguration.java:12-25 — one selection rule."""
+    """models/StreamsConfiguration.java:12-25 — one selection rule, plus the
+    BigQuery tap's per-stream query shaping (``filters`` "parsed in WHERE
+    clause" and ``limit``, taps/BigQuery.java:46-50,128-141) as a SQL
+    predicate and row cap applied source-side."""
 
     stream: str | None = None  # None ⇒ applies to every stream
     properties_pattern: list[str] = field(default_factory=list)  # regexes
     selected: bool = True  # select or deselect the matched nodes
     replication_method: str | None = None
     replication_key: str | None = None
+    where: str | None = None  # SQL predicate over the stream's columns
+    limit: int | None = None  # row cap (by ascending seq — deterministic)
 
 
 @dataclass
@@ -165,6 +170,10 @@ def _select_stream(stream: DiscoverStream, cfg: StreamsConfiguration) -> None:
                 node.metadata["replication-method"] = cfg.replication_method
             if cfg.replication_key:
                 node.metadata["replication-key"] = cfg.replication_key
+            if cfg.where:
+                node.metadata["where"] = cfg.where
+            if cfg.limit is not None:
+                node.metadata["limit"] = int(cfg.limit)
         elif node.inclusion == "available":
             node.metadata["selected"] = cfg.selected
 

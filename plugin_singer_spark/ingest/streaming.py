@@ -203,6 +203,9 @@ def replay_files(
                 raise ValueError(
                     f"stream {stream!r}: RECORD before any SCHEMA message and no record_schema given"
                 )
+            activations = [
+                fence for _s, s_name, fence in messages.collect_activate_versions(env) if s_name == stream
+            ]
             ev = messages.records_for_stream(env, stream, live_schema, keep_envelope=("seq",))
         if transform is not None:
             # load-side stages from the job config (stream maps, flatten,
@@ -220,6 +223,12 @@ def replay_files(
         stats.events += rep.record_count
         stats.batches += 1
         stats.reports.append(rep)
+        if input_format != "parquet" and record_schema is None and activations:
+            # ACTIVATE_VERSION in this epoch: rows older than the (last)
+            # activation point were not re-sent by the resync — drop them
+            from plugin_singer_spark.lake.merge import activate_version
+
+            activate_version(table, below_seq=max(activations))
         if mode == "mor" and compact_every and (epoch + 1) % compact_every == 0:
             compact(table, min_delta_files=max(1, compact_every))
         stats.epoch_secs.append(round(_time.time() - _t0, 3))

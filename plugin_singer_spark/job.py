@@ -274,6 +274,14 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
         )
         recs = messages.records_for_stream(env, s.stream, struct, keep_envelope=("seq",))
         recs = recs.withColumn("op", F.coalesce(F.col("op"), F.lit("U")))
+        # per-stream WHERE + limit (taps/BigQuery.java:46-50,128-141): the
+        # predicate pushes into the scan; the cap is by ascending seq so it
+        # is deterministic across partitionings
+        md = s.stream_node().metadata
+        if md.get("where"):
+            recs = recs.filter(F.expr(md["where"]))
+        if md.get("limit") is not None:
+            recs = recs.orderBy("seq").limit(int(md["limit"]))
         if transform is not None:
             recs = transform(recs)
         tpath = os.path.join(root, s.stream)
@@ -308,6 +316,16 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
                 table, recs, stream=s.stream, epoch=epoch,
                 checkpoint_id=checkpoint_id, mode=mode,
             )
+            if rep.record_count > 0:
+                # ACTIVATE_VERSION (Singer full-resync fence): rows older
+                # than the activation point were not re-sent — drop them
+                from plugin_singer_spark.lake.merge import activate_version
+
+                acts = [
+                    fence for _q, nm, fence in messages.collect_activate_versions(env) if nm == s.stream
+                ]
+                if acts:
+                    activate_version(table, below_seq=max(acts))
             compact(table, min_delta_files=1)
         if rep.record_count == 0 and created and not persist_empty:
             shutil.rmtree(tpath, ignore_errors=True)

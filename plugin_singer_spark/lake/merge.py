@@ -445,6 +445,47 @@ def compact(table: LakeTable, min_delta_files: int = 1, buckets: list[int] | Non
     )
 
 
+def activate_version(table: LakeTable, below_seq: int) -> Snapshot:
+    """Singer ACTIVATE_VERSION semantics: after a full-table resync, rows
+    that were NOT re-sent (``_sdc_seq`` below the activation point) are
+    stale and get hard-deleted — the "delete non-current version rows"
+    behavior Singer targets apply on version activation. The engine's
+    version marker is the change sequence: everything the resync re-sent
+    carries a newer seq and survives.
+
+    Rewrites only buckets that contain stale rows (bucket-pruned, like
+    purge_deleted). Reference: the SDK-standard message the Java layer
+    passes through (SURVEY §1.1 message-stream row; message enum
+    test/.../TapsTest.java:28-35)."""
+    snap = table.snapshot()
+    full = table.read(include_deleted=True).withColumn(
+        "_bucket", bucket_expr(snap.key_columns, snap.num_buckets)
+    )
+    stale = F.coalesce(F.col(SEQ_FIELD), F.lit(-1)) < F.lit(below_seq)
+    touched = [r["_bucket"] for r in full.filter(stale).select("_bucket").distinct().collect()]
+    if not touched:
+        return snap
+    tset = {str(b) for b in touched}
+    survivors = (
+        table.read(buckets=touched, include_deleted=True)
+        .withColumn("_bucket", bucket_expr(snap.key_columns, snap.num_buckets))
+        .filter(~stale)
+    )
+    new_files = table.write_buckets(survivors, snap.schema, num_buckets_hint=len(touched))
+    files = {b: fs for b, fs in snap.files.items() if b not in tset}
+    files.update(new_files)
+    deltas = {b: fs for b, fs in snap.delta_files.items() if b not in tset}
+    return table.commit(
+        files,
+        delta_files=deltas,
+        lineage_record={
+            "mode": "activate_version",
+            "below_seq": below_seq,
+            "touched_buckets": sorted(map(int, tset)),
+        },
+    )
+
+
 def purge_deleted(table: LakeTable, below_seq: int | None = None) -> Snapshot:
     """Physically remove delete tombstones (VACUUM analog — the reference's
     ``hard_delete=true`` applied retroactively). Safe once no event with

@@ -188,6 +188,32 @@ def collect_schemas(
     return out
 
 
+def collect_activate_versions(env: DataFrame) -> list[tuple[int, str, int]]:
+    """ACTIVATE_VERSION messages in seq order → (seq, stream, fence).
+
+    Driver-side control-plane rows, like STATE/SCHEMA. The ``fence`` is the
+    activation point in change-sequence units: rows with seq below it were
+    not re-sent by the full resync and are stale
+    (lake.merge.activate_version applies the delete). Singer taps bracket a
+    resync with a ``version`` marker; in this engine's seq-ordered streams
+    the tap sets ``version`` to the resync's FIRST seq — absent that, the
+    message's own seq is the (conservative upper-bound) fence."""
+    rows = (
+        env.filter(F.col("type") == "ACTIVATE_VERSION")
+        .select("seq", "stream", F.get_json_object("raw", "$.version").alias("version"))
+        .orderBy("seq")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        try:
+            fence = int(r["version"])
+        except (TypeError, ValueError):
+            fence = int(r["seq"])
+        out.append((int(r["seq"]), r["stream"], fence))
+    return out
+
+
 def validate_records(
     typed: DataFrame, required: list[str], quarantine: bool = True
 ) -> tuple[DataFrame, DataFrame]:

@@ -238,3 +238,21 @@ def test_lineage_df_queryable(spark, table):
     row = ldf.filter(F.col("stream") == "repos").collect()[0]
     assert row["source_rows"] == 2 and row["dedup_rows"] == 1 and row["epoch"] == 0
     assert row["mode"].startswith("log_based")
+
+
+def test_activate_version_drops_stale_rows(spark, table):
+    """Singer ACTIVATE_VERSION: rows not re-sent by a full resync (seq below
+    the activation point) are hard-deleted; re-sent and newer rows survive."""
+    from plugin_singer_spark.lake.merge import activate_version
+
+    merge_into(table, spark.createDataFrame(
+        [(1, "I", "r", "old", "c", "py", "gone"), (2, "I", "r", "kept", "c", "py", "v1")], COLS))
+    # full resync re-sends only "kept" (seq 10), then activation at seq 11
+    merge_into(table, spark.createDataFrame([(10, "U", "r", "kept", "c", "py", "v2")], COLS))
+    activate_version(table, below_seq=10)
+    assert state(table) == [("r", "kept", "v2")]
+    assert table.snapshot().lineage[-1]["mode"] == "activate_version"
+    # idempotent: activating again changes nothing
+    v = table.current_version()
+    activate_version(table, below_seq=10)
+    assert table.current_version() == v

@@ -427,3 +427,43 @@ def test_job_sql_hooks(spark, tmp_path):
     run_job(spark, cfg)
     assert spark.sql("SELECT ok FROM hook_probe").collect()[0]["ok"] == 1
     assert spark.sql("SELECT n FROM hook_result").collect()[0]["n"] == 1
+
+
+def test_catalog_job_where_limit_and_activate_version(spark, tmp_path):
+    """Per-stream WHERE/limit shaping (taps/BigQuery.java:46-50,128-141) and
+    ACTIVATE_VERSION full-resync fence through the catalog job."""
+    import json as _json
+
+    from plugin_singer_spark.job import run_job
+
+    lines = (
+        [_json.dumps({"type": "RECORD", "stream": "cat", "seq": i,
+                      "record": {"id": i, "name": f"c{i}"}}) for i in range(10)]
+        # full resync re-sends only ids 0-4 with newer seqs...
+        + [_json.dumps({"type": "RECORD", "stream": "cat", "seq": 100 + i,
+                        "record": {"id": i, "name": f"c{i}x"}}) for i in range(5)]
+        # ...then activates: ids 5-9 (never re-sent) must disappear
+        # version = first seq of the resync — the activation fence
+        + [_json.dumps({"type": "ACTIVATE_VERSION", "stream": "cat", "seq": 200, "version": 100})]
+    )
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text("\n".join(lines) + "\n")
+    cfg = {
+        "catalog": {"streams": [{"stream": "cat", "key_properties": ["id"],
+                                 "schema": {"type": "object", "properties": {
+                                     "id": {"type": "integer"},
+                                     "name": {"type": ["null", "string"]}}}}]},
+        "streams_configurations": [
+            {"stream": "cat", "selected": True, "where": "id >= 1", "limit": 100},
+        ],
+        "source": {"path": str(raw)},
+        "tables_root": str(tmp_path / "lake"),
+        "num_buckets": 2,
+    }
+    out = run_job(spark, cfg)["streams"]["cat"]
+    from plugin_singer_spark.lake import LakeTable
+
+    rows = {r["id"]: r["name"] for r in LakeTable(spark, out["table"]).read().collect()}
+    # where dropped id 0; activation dropped never-re-sent ids 5-9;
+    # re-sent ids carry the resync values
+    assert rows == {1: "c1x", 2: "c2x", 3: "c3x", 4: "c4x"}
