@@ -263,9 +263,17 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     )
     transform = _build_transform(cfg, cfg.get("quarantine_path"))
 
+    from plugin_singer_spark.schema import TypeOptions
+
+    # schema-conversion preferences from the job config — the connectors'
+    # type knobs (use_singer_decimal taps/PipelinewiseSqlServer.java:112-116,
+    # use_date_datatype :96-100, prefer_float_over_numeric
+    # targets/Oracle.java:107-110)
+    topts = TypeOptions(**cfg["type_options"]) if cfg.get("type_options") else None
+
     report: dict[str, Any] = {}
     for s in catalog.selected():
-        struct = s.spark_schema()
+        struct = s.spark_schema(topts)
         keep = [p for p in s.selected_properties()]
         # keys are always kept (inclusion=automatic in the reference)
         cols = list(dict.fromkeys(s.key_properties + keep))
@@ -432,6 +440,17 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             "snapshot_version": table.current_version(),
             "bookmarks": table.bookmarks(),
             "final_rows": _final_rows(table),
+            # Singer METRIC parity (AbstractPythonSinger.java:322-356): the
+            # per-run counter the reference extracts from tap stderr, with
+            # the same name mangling / tag lowering (ingest/metrics.py)
+            "metrics": [
+                {
+                    "type": "counter",
+                    "metric": "singer.record.count",
+                    "value": out["events"],
+                    "tags": {"stream": stream.lower()},
+                }
+            ],
         }
     )
     if cfg.get("after_sql"):

@@ -467,3 +467,47 @@ def test_catalog_job_where_limit_and_activate_version(spark, tmp_path):
     # where dropped id 0; activation dropped never-re-sent ids 5-9;
     # re-sent ids carry the resync values
     assert rows == {1: "c1x", 2: "c2x", 3: "c3x", 4: "c4x"}
+
+
+def test_job_report_metrics_and_type_options(spark, tmp_path):
+    """The job report carries Singer-style METRIC records
+    (AbstractPythonSinger.java:322-356) and catalog jobs honor the
+    type-preference knobs (use_date_datatype, prefer_float_over_numeric)."""
+    import json as _json
+
+    from plugin_singer_spark.job import run_job
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "x", 1)],
+        "repo string, path string, commit string, lang string, content string, seq long",
+    ).write.parquet(src)
+    cfg = {
+        "table": {"path": str(tmp_path / "t"), "keys": ["repo", "path"], "num_buckets": 2,
+                  "columns": {c: "string" for c in ["repo", "path", "commit", "lang", "content"]}},
+        "source": {"format": "parquet", "path": src, "stream": "Repos"},
+        "replication_method": "FULL_TABLE",
+    }
+    out = run_job(spark, cfg)
+    m = out["metrics"][0]
+    assert m["metric"] == "singer.record.count" and m["value"] == 1
+    assert m["tags"]["stream"] == "repos"  # lowercased tag values
+
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text(_json.dumps({"type": "RECORD", "stream": "s", "seq": 1,
+                                "record": {"id": 1, "price": 9.5}}) + "\n")
+    ccfg = {
+        "catalog": {"streams": [{"stream": "s", "key_properties": ["id"],
+                                 "schema": {"type": "object", "properties": {
+                                     "id": {"type": "integer"},
+                                     "price": {"type": ["null", "number"], "multipleOf": 0.01}}}}]},
+        "streams_configurations": [{"stream": "s", "selected": True}],
+        "source": {"path": str(raw)},
+        "tables_root": str(tmp_path / "lake"),
+        "type_options": {"prefer_float_over_numeric": True},
+    }
+    out = run_job(spark, ccfg)["streams"]["s"]
+    from plugin_singer_spark.lake import LakeTable
+
+    schema = {f.name: f.dataType.simpleString() for f in LakeTable(spark, out["table"]).snapshot().schema.fields}
+    assert schema["price"] == "double"  # prefer_float beats DecimalType(p,2)
