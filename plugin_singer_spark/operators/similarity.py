@@ -73,21 +73,23 @@ def brute_force_topk(
 
 def _hyperplane(dim: int, plane: int, table: int = 0) -> Column:
     """Deterministic pseudo-random hyperplane: component d ∈ [-1, 1) derived
-    from hash64('p:<plane>:<d>'). Pure expression — identical on every
-    executor, run, and cluster size."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"p:{table}:{plane}:"), d.cast("string"))), 1, 15), 16, 10
-                ).cast("long"),
-                F.lit(2_000_000),
-            )
-            / 1_000_000.0
-            - 1.0
-        ),
-    )
+    from md5('p:<table>:<plane>:<d>') — the same value the previous
+    expression formulation computed via conv(substring(md5(..),1,15),16,10)
+    % 2e6 / 1e6 - 1.
+
+    Components are PRECOMPUTED on the driver and shipped as literals: they
+    are constants, but Catalyst does not constant-fold md5 inside
+    higher-order-function lambdas, so the expression version recomputed
+    tables × planes × dim md5s PER ROW (~2000 md5s/vector — measured as the
+    dominant cost of the whole LSH query). Identical on every executor,
+    run, and cluster size."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"p:{table}:{plane}:{d}".encode()).hexdigest()
+        comps.append(int(h[:15], 16) % 2_000_000 / 1_000_000.0 - 1.0)
+    return F.array(*[F.lit(c) for c in comps])
 
 
 def lsh_bucket(vec: Column, dim: int, planes: int = 8, table: int = 0) -> Column:
