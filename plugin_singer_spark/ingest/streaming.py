@@ -249,22 +249,35 @@ def stream_binlog(
     max_files_per_trigger: int = 4,
     available_now: bool = True,
     processing_time: str | None = None,
+    input_format: str = "parquet",
+    record_schema=None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
     **merge_kwargs: Any,
 ):
-    """Structured Streaming driver: file source over binlog parquet →
-    foreachBatch(epoch-fenced MERGE). Returns the StreamingQuery.
+    """Structured Streaming driver: file source over the binlog (parquet, or
+    ``input_format='jsonl'`` for the raw Singer artifact parsed per batch
+    with ``record_schema``) → foreachBatch(epoch-fenced MERGE). Returns the
+    StreamingQuery.
 
     The sink is idempotent under Spark's at-least-once foreachBatch contract
     because the merge is fenced on (checkpoint_id, epoch_id) inside the
     atomic snapshot commit — the exactly-once upgrade of the reference's
     save-state-after-success (taps/AbstractPythonTap.java:104-106).
     """
-    sample = spark.read.parquet(binlog_dir)
-    src = (
-        spark.readStream.schema(sample.schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(binlog_dir)
-    )
+    if input_format == "jsonl":
+        if record_schema is None:
+            raise ValueError("input_format='jsonl' requires record_schema")
+        src = (
+            spark.readStream.option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .text(binlog_dir)
+        )
+    else:
+        sample = spark.read.parquet(binlog_dir)
+        src = (
+            spark.readStream.schema(sample.schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(binlog_dir)
+        )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         fence = table.last_committed_epoch(checkpoint_id)
@@ -275,6 +288,14 @@ def stream_binlog(
         # and Spark's checkpoint already delivers each file exactly once.
         # LWW merge makes any cross-batch ordering converge; the epoch fence
         # alone guards replays.
+        if input_format == "jsonl":
+            from plugin_singer_spark import messages
+
+            batch_df = messages.parse_records_lean(
+                batch_df, stream, record_schema, line_col="value"
+            )
+        if transform is not None:
+            batch_df = transform(batch_df)
         replay_cdc(
             table,
             batch_df,

@@ -232,3 +232,49 @@ def test_streaming_processing_time_trigger(spark, tmp_path, table):
     exp = expected_final_state(binlog).select("repo", "path", F.sha2("content", 256).alias("h"))
     got = table.read().select("repo", "path", F.sha2("content", 256).alias("h"))
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_streaming_jsonl_source_and_restart_resume(spark, tmp_path, table):
+    """Structured Streaming over the RAW Singer JSONL artifact: stop the
+    query mid-stream, restart on the same checkpoint — Spark's offsets plus
+    the table's epoch fence must converge to exact parity (no duplicates,
+    no gaps), the tap→target contract under crash/restart."""
+    from plugin_singer_spark.datagen import BinlogSpec
+    from plugin_singer_spark.datagen.binlog import write_singer_jsonl
+
+    spec = BinlogSpec(num_events=4000, num_repos=8, paths_per_repo=30, num_partitions=4)
+    src_dir = str(tmp_path / "jsonl")
+    write_singer_jsonl(spark, spec, src_dir)
+    record_schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content", "op"]]
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: process at most ~half the files, then stop mid-stream
+    import time
+
+    q = stream_binlog(
+        spark, table, src_dir, ckpt, max_files_per_trigger=1,
+        input_format="jsonl", record_schema=record_schema,
+        checkpoint_id="sjr", available_now=False, processing_time="200 milliseconds",
+    )
+    deadline = time.time() + 120
+    while table.last_committed_epoch("sjr") < 1 and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    partial_fence = table.last_committed_epoch("sjr")
+    assert partial_fence >= 1
+
+    # phase 2: restart on the same checkpoint, drain to the end
+    q2 = stream_binlog(
+        spark, table, src_dir, ckpt, max_files_per_trigger=1,
+        input_format="jsonl", record_schema=record_schema,
+        checkpoint_id="sjr", available_now=True,
+    )
+    q2.awaitTermination(180)
+    assert table.last_committed_epoch("sjr") > partial_fence or partial_fence == 3
+
+    binlog = generate_binlog(spark, spec)
+    exp = expected_final_state(binlog).select("repo", "path", F.sha2("content", 256).alias("h"))
+    got = table.read().select("repo", "path", F.sha2("content", 256).alias("h"))
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
