@@ -382,19 +382,53 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             cols = dict(cfg["table"]["columns"])
             cols.setdefault("op", "string")
             record_schema = _struct_from_columns(cols)
-        stats = replay_files(
-            spark,
-            table,
-            src["path"],
-            files_per_batch=int(src.get("files_per_batch", 8)),
-            stream=stream,
-            checkpoint_id=checkpoint_id,
-            input_format=src.get("format", "parquet"),
-            record_schema=record_schema,
-            mode=mode,
-            transform=transform,
-        )
-        out = {"events": stats.events, "batches": stats.batches}
+        if cfg.get("streaming"):
+            # Structured Streaming driver: Spark checkpoint + epoch fence.
+            # batch_wait_limit_seconds (targets/PipelinewiseSnowflake.java:
+            # 300-304) maps to a processingTime trigger; absent, the run is
+            # bounded (availableNow ≈ break_at_end_lsn).
+            from plugin_singer_spark.ingest.streaming import stream_binlog
+
+            wait = cfg.get("batch_wait_limit_seconds")
+            q = stream_binlog(
+                spark,
+                table,
+                src["path"],
+                cfg.get("stream_checkpoint_dir") or (tcfg["path"].rstrip("/") + "_ckpt"),
+                stream=stream,
+                checkpoint_id=checkpoint_id,
+                max_files_per_trigger=int(src.get("files_per_batch", 8)),
+                available_now=wait is None,
+                processing_time=(f"{int(wait)} seconds" if wait is not None else None),
+                input_format=src.get("format", "parquet"),
+                record_schema=record_schema,
+                transform=transform,
+                mode=mode,
+            )
+            if wait is None:
+                q.awaitTermination()
+            out = {
+                "events": sum(r.get("source_rows") or 0 for r in table.snapshot().lineage),
+                "batches": table.last_committed_epoch(checkpoint_id) + 1,
+                "streaming": True,
+            }
+            if wait is not None:
+                out["query_id"] = str(q.id)  # caller owns the long-running query
+        else:
+            stats = replay_files(
+                spark,
+                table,
+                src["path"],
+                files_per_batch=int(src.get("files_per_batch", 8)),
+                stream=stream,
+                checkpoint_id=checkpoint_id,
+                input_format=src.get("format", "parquet"),
+                record_schema=record_schema,
+                mode=mode,
+                compact_every=cfg.get("compact_every"),
+                transform=transform,
+            )
+            out = {"events": stats.events, "batches": stats.batches}
     elif method == "LOG_BASED":
         # generic/jdbc CDC source: a DataFrame of change events replayed in
         # seq-range micro-batches through the same fenced merge

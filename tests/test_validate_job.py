@@ -511,3 +511,29 @@ def test_job_report_metrics_and_type_options(spark, tmp_path):
 
     schema = {f.name: f.dataType.simpleString() for f in LakeTable(spark, out["table"]).snapshot().schema.fields}
     assert schema["price"] == "double"  # prefer_float beats DecimalType(p,2)
+
+
+def test_job_streaming_mode(spark, tmp_path):
+    """'streaming': true runs the Structured Streaming driver (bounded
+    availableNow run when no batch_wait_limit_seconds) through job.json."""
+    from plugin_singer_spark.datagen import BinlogSpec, expected_final_state, generate_binlog
+    from plugin_singer_spark.job import run_job
+    from plugin_singer_spark.lake import LakeTable
+
+    spec = BinlogSpec(num_events=2000, num_repos=6, paths_per_repo=20, num_partitions=4)
+    binlog = generate_binlog(spark, spec)
+    src = str(tmp_path / "binlog")
+    binlog.write.parquet(src)
+    cfg = {
+        "table": {"path": str(tmp_path / "t"), "keys": ["repo", "path"], "num_buckets": 4,
+                  "columns": {c: "string" for c in ["repo", "path", "commit", "lang", "content"]}},
+        "source": {"format": "parquet", "path": src, "stream": "repos", "files_per_batch": 2},
+        "replication_method": "LOG_BASED",
+        "streaming": True,
+        "checkpoint_id": "sjob",
+    }
+    out = run_job(spark, cfg)
+    assert out["streaming"] is True and out["batches"] >= 2 and out["events"] == 2000
+    exp = expected_final_state(binlog).select("repo", "path", "content")
+    got = LakeTable(spark, cfg["table"]["path"]).read().select("repo", "path", "content")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
