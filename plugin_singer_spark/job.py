@@ -389,6 +389,9 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             # bounded (availableNow ≈ break_at_end_lsn).
             from plugin_singer_spark.ingest.streaming import stream_binlog
 
+            events_before = sum(
+                r.get("source_rows") or 0 for r in table.snapshot().lineage
+            )
             wait = cfg.get("batch_wait_limit_seconds")
             q = stream_binlog(
                 spark,
@@ -408,7 +411,10 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             if wait is None:
                 q.awaitTermination()
             out = {
-                "events": sum(r.get("source_rows") or 0 for r in table.snapshot().lineage),
+                # this run's events only: lineage delta (a fenced re-run
+                # commits nothing, so the delta is correctly 0)
+                "events": sum(r.get("source_rows") or 0 for r in table.snapshot().lineage)
+                - events_before,
                 "batches": table.last_committed_epoch(checkpoint_id) + 1,
                 "streaming": True,
             }

@@ -534,6 +534,9 @@ def test_job_streaming_mode(spark, tmp_path):
     }
     out = run_job(spark, cfg)
     assert out["streaming"] is True and out["batches"] >= 2 and out["events"] == 2000
+    # fenced re-run: this-run events must be 0, not the cumulative lineage
+    out2 = run_job(spark, cfg)
+    assert out2["events"] == 0
     exp = expected_final_state(binlog).select("repo", "path", "content")
     got = LakeTable(spark, cfg["table"]["path"]).read().select("repo", "path", "content")
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
