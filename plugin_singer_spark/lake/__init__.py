@@ -18,4 +18,12 @@ matters at 100 TB is preserved:
 """
 
 from plugin_singer_spark.lake.table import LakeTable, Snapshot  # noqa: F401
-from plugin_singer_spark.lake.merge import merge_into, lww_dedup  # noqa: F401
+from plugin_singer_spark.lake.merge import (  # noqa: F401
+    activate_version,
+    compact,
+    lww_dedup,
+    lww_dedup_salted,
+    merge_append,
+    merge_into,
+    purge_deleted,
+)
