@@ -208,7 +208,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) 
 
     Declarative formulation: explode (token × bit-position) and aggregate —
     bits× row inflation but fully codegen'd and partial-aggregated; for the
-    narrow-hot-loop variant use a pandas_udf (same result, tested equal).
+    narrow-hot-loop variant use :func:`simhash_pandas` (same result,
+    tested equal).
     ``bits`` ≤ 60: 2^pos must stay an exact double and a positive long for
     oracle parity.
     Returns (id, simhash: long over the low ``bits`` bits)."""
@@ -233,6 +234,41 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) 
         .groupBy("id")
         .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pos")).cast("long")).alias("simhash"))
     )
+
+
+def simhash_pandas(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """The narrow-hot-loop SimHash variant: tokenization stays a JVM
+    expression; the per-document bit voting runs as ONE Arrow-batched
+    pandas UDF using the identical md5-derived 60-bit hash — bit-for-bit
+    equal to :func:`simhash` (tested in tests/test_operators.py) without
+    the declarative plan's bits× posexplode row inflation. Same schema:
+    (id, simhash)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _vote(tok_arrays):
+        positions = np.arange(bits, dtype=np.int64)
+        out = []
+        for toks in tok_arrays:
+            hs = np.array(
+                [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks],
+                dtype=np.int64,
+            )
+            votes = (((hs[:, None] >> positions) & 1) * 2 - 1).sum(axis=0)
+            out.append(int(((votes > 0).astype(np.int64) << positions).sum()))
+        return pd.Series(out, dtype="int64")
+
+    # explicit Series annotations (module uses `from __future__ import
+    # annotations`, which would stringify inline hints beyond resolution)
+    _vote.__annotations__ = {"tok_arrays": pd.Series, "return": pd.Series}
+    vote = F.pandas_udf(_vote, T.LongType())
+
+    tok = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+    # the declarative variant's explode drops zero-token docs — match it
+    return tok.filter(F.size("_toks") > 0).select("id", vote("_toks").alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

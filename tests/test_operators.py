@@ -251,3 +251,11 @@ def test_embedding_neardup_lsh_recall(spark, emb):
     assert lsh.issubset(exact)  # verify stage restores precision
     if exact:
         assert len(lsh & exact) / len(exact) >= 0.5  # bucketing recall floor
+
+
+def test_simhash_pandas_equals_declarative(spark, docs):
+    """The Arrow-batched SimHash kernel must be bit-for-bit equal to the
+    declarative expression formulation on real corpus data."""
+    decl = {r["id"]: r["simhash"] for r in dd.simhash(docs, "doc_id", "text", bits=32).collect()}
+    pand = {r["id"]: r["simhash"] for r in dd.simhash_pandas(docs, "doc_id", "text", bits=32).collect()}
+    assert decl == pand
