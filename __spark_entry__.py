@@ -328,6 +328,71 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched SimHash kernel — bit-for-bit equal to the
+    declarative variant, so it shares the same DuckDB oracle: an Arrow
+    kernel verified by SQL value-hash."""
+    return dd.simhash_pandas(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32).select(
+        F.col("id").alias("doc_id"), F.col("simhash")
+    )
+
+
+def q_activate_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Singer ACTIVATE_VERSION through the real engine: replay the derived
+    binlog, then activate at the 80th-percentile seq — rows not re-sent
+    after the fence are hard-deleted. Oracle: plain LWW window + fence
+    filter."""
+    import atexit
+    import shutil
+
+    from plugin_singer_spark.lake.merge import activate_version, merge_into
+
+    b = derived_binlog(spark, sf_dir)
+    mx = b.agg(F.max("seq")).collect()[0][0]
+    fence = int(mx * 4 // 5)
+    root = tempfile.mkdtemp(prefix="entry_activate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = LakeTable.create(spark, os.path.join(root, "repos"), REPOS_SCHEMA, ["repo", "path"], num_buckets=8)
+    merge_into(t, b)
+    activate_version(t, below_seq=fence)
+    return t.read().select("repo", "path", "commit", "lang", "content")
+
+
+def q_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 discovery PRODUCED from data (the --discover run,
+    taps/AbstractPythonTap.java:149-163): render a two-stream Singer JSONL
+    artifact (one stream with an in-band SCHEMA, one schema-less), run
+    discover_from_jsonl, return (stream, column, json_type, selected)."""
+    import atexit
+    import shutil
+
+    from plugin_singer_spark.catalog import discover_from_jsonl
+
+    b = derived_binlog(spark, sf_dir).limit(0)  # schema only; artifact is tiny+static
+    _ = b  # the artifact below is deterministic — independent of sf
+    lines = [
+        '{"type": "SCHEMA", "stream": "category", "seq": 0, "key_properties": ["categoryid"],'
+        ' "schema": {"type": "object", "properties": {"categoryid": {"type": "integer"},'
+        ' "categoryname": {"type": ["null", "string"]}}}}',
+        '{"type": "RECORD", "stream": "category", "seq": 1, "record": {"categoryid": 1, "categoryname": "a"}}',
+        '{"type": "RECORD", "stream": "region", "seq": 2, "record": {"regionid": 7, "regiondescription": "x"}}',
+    ]
+    d = tempfile.mkdtemp(prefix="entry_discover_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    with open(os.path.join(d, "raw.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    cat = discover_from_jsonl(spark, os.path.join(d, "raw.jsonl"))
+    rows = []
+    for s in cat.streams:
+        for prop, spec in (s.json_schema.get("properties") or {}).items():
+            t = spec.get("type")
+            t = [x for x in (t if isinstance(t, list) else [t]) if x != "null"][0]
+            rows.append((s.stream, prop, t, prop in s.key_properties))
+    return spark.createDataFrame(
+        sorted(rows), "stream string, column string, json_type string, is_key boolean"
+    )
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = tx.quality_features(_t(spark, sf_dir, "documents"), "text")
     return q.select(
@@ -472,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pandas": q_simhash_pandas,
+        "activate_version": q_activate_version,
+        "discovery": q_discovery,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
         "token_stats": q_token_stats,
@@ -500,7 +568,7 @@ sh AS (
                                FOR i IN range(0, greatest(len(toks) - 3, 0) + 1)])) AS shingle
   FROM tok WHERE len(toks) > 0)
 """
-    return {
+    d = {
         "message_type_counts": f"""
 WITH {BINLOG_CTE}
 SELECT CASE WHEN seq % 500 = 0 THEN 'SCHEMA'
@@ -607,6 +675,21 @@ bitsum AS (SELECT doc_id, pos, sum(vote) AS v FROM votes GROUP BY doc_id, pos)
 SELECT doc_id,
        CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc_id""",
+        "activate_version": f"""
+WITH {BINLOG_CTE},
+bm AS (SELECT CAST(max(seq) * 4 // 5 AS BIGINT) AS fence FROM binlog),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM binlog)
+SELECT repo, path, commit, lang, content
+FROM ranked, bm WHERE rn = 1 AND op <> 'D' AND seq >= bm.fence""",
+        "discovery": """
+SELECT * FROM (VALUES
+  ('category', 'categoryid', 'integer', true),
+  ('category', 'categoryname', 'string', false),
+  ('region', 'regiondescription', 'string', false),
+  ('region', 'regionid', 'integer', false)
+) AS t(stream, "column", json_type, is_key)""",
         "quality_scores": f"""
 WITH {tokens_cte},
 feat AS (
@@ -710,6 +793,10 @@ FROM documents""",
         # minhash_lsh_pairs, ann_lsh_topk, embedding_neardup_lsh: rows-only
         # (probabilistic LSH recall — verified vs the exact variants in pytest)
     }
+    # the Arrow SimHash kernel is bit-equal to the declarative variant —
+    # same oracle, so the pandas path is SQL-value-hash verified too
+    d["simhash_pandas"] = d["simhash"]
+    return d
 
 
 def entry(spark: SparkSession) -> DataFrame:
