@@ -443,6 +443,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(corpus, queries, dim=dim, k=5, planes=4, multiprobe=2)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN — the second scale family next to LSH (coarse
+    k-means quantizer, nprobe nearest lists per query). Rows-only driver
+    check; recall vs brute force asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    return sim.ivf_topk(corpus, queries, dim=dim, k=5, nlist=16, nprobe=4)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs — the verify/oracle variant (cross join;
     the scale path is q_embedding_neardup_lsh)."""
@@ -546,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "stream_map": q_stream_map,
@@ -790,8 +804,8 @@ SELECT doc_id,
        sha256(text) AS media_sha256,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents""",
-        # minhash_lsh_pairs, ann_lsh_topk, embedding_neardup_lsh: rows-only
-        # (probabilistic LSH recall — verified vs the exact variants in pytest)
+        # minhash_lsh_pairs, ann_lsh_topk, ann_ivf_topk, embedding_neardup_lsh:
+        # rows-only (approximate index recall — verified vs exact in pytest)
     }
     # the Arrow SimHash kernel is bit-equal to the declarative variant —
     # same oracle, so the pandas path is SQL-value-hash verified too

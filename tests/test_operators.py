@@ -259,3 +259,20 @@ def test_simhash_pandas_equals_declarative(spark, docs):
     decl = {r["id"]: r["simhash"] for r in dd.simhash(docs, "doc_id", "text", bits=32).collect()}
     pand = {r["id"]: r["simhash"] for r in dd.simhash_pandas(docs, "doc_id", "text", bits=32).collect()}
     assert decl == pand
+
+
+def test_ivf_recall_and_determinism(spark, emb):
+    """IVF inverted-list ANN: recall vs brute force, and run-to-run
+    determinism of the seedless centroid init."""
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.filter(F.col("vec_id") % 50 != 0)
+    exact = sim.brute_force_topk(c, q, k=5)
+    approx = sim.ivf_topk(c, q, dim=dim, k=5, nlist=8, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    c1 = sim.ivf_centroids(c, dim, nlist=4, iters=1)
+    c2 = sim.ivf_centroids(c, dim, nlist=4, iters=1)
+    assert c1 == c2
