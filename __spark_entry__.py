@@ -413,6 +413,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.sum(tx.token_count("text")).alias("total_tokens"),
+        F.sum(tx.token_count_bpe("text")).alias("total_bpe_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
@@ -743,6 +744,9 @@ FROM feat GROUP BY 1""",
         "token_stats": f"""
 SELECT lang, source,
        CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')))
+         AS BIGINT) AS total_bpe_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY lang, source""",
         "fingerprints": f"""

@@ -44,6 +44,22 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 style, simplified to what both Spark
+# and DuckDB regex engines support): contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. Counting these units tracks
+# real BPE token counts far better than whitespace words (punctuation and
+# contractions split; long words still count 1 — a documented lower bound).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """Approximate BPE token count via the pre-tokenizer regex — one
+    regexp_count expression, no Python. Exact DuckDB parity:
+    ``len(regexp_extract_all(x, <same pattern>))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams — the dedup shingling unit. Built from the
     token array with sequence+transform (no UDF)."""

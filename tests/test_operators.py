@@ -276,3 +276,17 @@ def test_ivf_recall_and_determinism(spark, emb):
     c1 = sim.ivf_centroids(c, dim, nlist=4, iters=1)
     c2 = sim.ivf_centroids(c, dim, nlist=4, iters=1)
     assert c1 == c2
+
+
+def test_bpe_token_count(spark):
+    """BPE-ish pre-tokenizer: contractions and punctuation split; counts
+    exceed whitespace words on punctuated text."""
+    df = spark.createDataFrame(
+        [(1, "I can't stop, won't stop!"), (2, "plain words only")], ["doc_id", "text"]
+    )
+    r = {x["doc_id"]: (x["ws"], x["bpe"]) for x in df.select(
+        "doc_id", tx.token_count("text").alias("ws"), tx.token_count_bpe("text").alias("bpe")
+    ).collect()}
+    # "I can 't stop , won 't stop !" -> 9 BPE units vs 6 ws words
+    assert r[1][1] > r[1][0]
+    assert r[2] == (3, 3)
