@@ -96,6 +96,59 @@ def extract_features(
     return df.select(id_col, bytes_col).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    bytes_col: str = "media",
+    decode: Literal["fake", "real"] = "fake",
+) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` stage — the same
+    plumbing shape as :func:`extract_features` (schema, batching,
+    partition-local, no shuffle).
+
+    ``decode="fake"`` (default): a deterministic stand-in — output bytes
+    are sha256(input ‖ 'wxh') repeated to width×height (3 bytes/px), so
+    tests can assert size/determinism without PIL; ``decode="real"`` raises
+    at the kernel boundary where PIL's ``Image.resize`` plugs in."""
+    if decode == "real":
+        def kernel(_: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "real image resize requires PIL — not present in this "
+                "environment; plug Image.open(...).resize((w, h)) in here"
+            )
+            yield  # pragma: no cover
+    else:
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            n = width * height * 3
+            for pdf in batches:
+                outs = []
+                for b in pdf[bytes_col]:
+                    h = hashlib.sha256((b or b"") + f"{width}x{height}".encode()).digest()
+                    outs.append((h * (n // len(h) + 1))[:n])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].astype("int64"),
+                        "resized": outs,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def attach_media_metadata(df: DataFrame, bytes_col: str = "media") -> DataFrame:
     """Typed metadata struct inferred from magic bytes (pure expressions —
     the cheap, JVM-side part of decode)."""

@@ -290,3 +290,17 @@ def test_bpe_token_count(spark):
     # "I can 't stop , won 't stop !" -> 9 BPE units vs 6 ws words
     assert r[1][1] > r[1][0]
     assert r[2] == (3, 3)
+
+
+def test_resize_plumbing(spark):
+    """Resize stage: deterministic fake kernel, correct output size, real
+    codec path raises at the kernel boundary."""
+    from plugin_singer_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNGxxxx"))], ["doc_id", "media"])
+    r1 = resize_images(df, 4, 4).collect()[0]
+    r2 = resize_images(df, 4, 4).collect()[0]
+    assert len(r1["resized"]) == 4 * 4 * 3 and (r1["width"], r1["height"]) == (4, 4)
+    assert bytes(r1["resized"]) == bytes(r2["resized"])  # deterministic
+    with pytest.raises(Exception):
+        resize_images(df, 4, 4, decode="real").collect()
