@@ -480,6 +480,59 @@ class LakeTable:
 
     # ---------- maintenance ----------
 
+    def rollback(self, version: int) -> Snapshot:
+        """Roll the table back to an older snapshot (Iceberg
+        ``rollback_to_snapshot`` analog): commits a NEW version whose
+        content maps, schema and properties are copied from the target —
+        history is preserved (the rolled-back-from versions stay readable
+        until expiry), and the epoch fences / bookmarks revert with the
+        data, so a subsequent replay resumes from the rolled-back point."""
+        target = self.snapshot(version)
+        cur = self.snapshot()
+        snap = Snapshot(
+            version=cur.version + 1,
+            schema_json=target.schema_json,
+            key_columns=target.key_columns,
+            num_buckets=target.num_buckets,
+            files={b: list(fs) for b, fs in target.files.items()},
+            delta_files={b: list(fs) for b, fs in target.delta_files.items()},
+            properties=dict(target.properties),
+            lineage=list(cur.lineage)[-999:]
+            + [{"mode": "rollback", "to_version": version, "from_version": cur.version}],
+            parent=cur.version,
+        )
+        self._write_manifest(snap)
+        self._set_current(snap.version)
+        return snap
+
+    def rebucket(self, num_buckets: int) -> Snapshot:
+        """Change the bucket count (Iceberg partition-spec evolution
+        analog): full resolve + rewrite under the new
+        ``pmod(xxhash64(keys), N)`` layout. One-off O(table) maintenance —
+        run it when buckets outgrow their target size (~1-2 GB each at
+        scale); merges before/after stay exact because bucket pruning
+        always derives from the CURRENT snapshot's num_buckets."""
+        snap = self.snapshot()
+        resolved = self.read(include_deleted=True).withColumn(
+            "_bucket", bucket_expr(snap.key_columns, num_buckets)
+        )
+        new_files = self.write_buckets(resolved, snap.schema, num_buckets_hint=num_buckets)
+        out = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            key_columns=snap.key_columns,
+            num_buckets=num_buckets,
+            files=new_files,
+            delta_files={},
+            properties=dict(snap.properties),
+            lineage=list(snap.lineage)[-999:]
+            + [{"mode": "rebucket", "from": snap.num_buckets, "to": num_buckets}],
+            parent=snap.version,
+        )
+        self._write_manifest(out)
+        self._set_current(out.version)
+        return out
+
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Drop manifests older than the last N and delete unreferenced data
         dirs. (Iceberg analog: expire_snapshots.) Returns files removed."""

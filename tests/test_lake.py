@@ -256,3 +256,57 @@ def test_activate_version_drops_stale_rows(spark, table):
     v = table.current_version()
     activate_version(table, below_seq=10)
     assert table.current_version() == v
+
+
+def test_rollback(spark, table):
+    """Rollback to an older snapshot: content, bookmarks and epoch fences
+    revert together (replay resumes from the rolled-back point); history is
+    a NEW version, not a rewind."""
+    from plugin_singer_spark.ingest.pipeline import replay_cdc
+
+    replay_cdc(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v1")], COLS),
+               epoch=0, checkpoint_id="rb")
+    v1 = table.current_version()
+    replay_cdc(table, spark.createDataFrame([(2, "U", "r", "p", "c", "py", "BAD")], COLS),
+               epoch=1, checkpoint_id="rb")
+    assert state(table) == [("r", "p", "BAD")]
+    table.rollback(v1)
+    assert state(table) == [("r", "p", "v1")]
+    assert table.last_committed_epoch("rb") == 0  # fence reverted with data
+    assert table.current_version() > v1  # history preserved, not rewound
+    # replaying the bad epoch region after rollback converges again
+    replay_cdc(table, spark.createDataFrame([(2, "U", "r", "p", "c", "py", "GOOD")], COLS),
+               epoch=1, checkpoint_id="rb")
+    assert state(table) == [("r", "p", "GOOD")]
+
+
+def test_rebucket(spark, table):
+    """Bucket-count evolution: full rewrite under the new layout; state,
+    tombstones and subsequent merges stay exact."""
+    merge_into(table, spark.createDataFrame(
+        [(i, "I", f"r{i%3}", f"p{i}", "c", "py", f"v{i}") for i in range(20)]
+        + [(100, "D", "r0", "p0", "c", "py", None)], COLS))
+    before = state(table)
+    table.rebucket(16)
+    snap = table.snapshot()
+    assert snap.num_buckets == 16 and not snap.delta_files
+    assert state(table) == before
+    # merge after rebucket uses the new layout and stays correct
+    merge_into(table, spark.createDataFrame([(200, "U", "r1", "p1", "c", "py", "NEW")], COLS))
+    assert ("r1", "p1", "NEW") in state(table)
+
+
+def test_commit_conflict(spark, table):
+    """Optimistic concurrency: the second writer of the same version gets
+    CommitConflict (O_EXCL manifest create) and the table is unharmed."""
+    from plugin_singer_spark.lake.table import CommitConflict, Snapshot
+
+    merge_into(table, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v")], COLS))
+    cur = table.snapshot()
+    clash = Snapshot(
+        version=cur.version, schema_json=cur.schema_json, key_columns=cur.key_columns,
+        num_buckets=cur.num_buckets, files=cur.files, parent=cur.parent,
+    )
+    with pytest.raises((CommitConflict, FileExistsError)):
+        table._write_manifest(clash)
+    assert state(table) == [("r", "p", "v")]
