@@ -239,6 +239,62 @@ def replay_files(
     return stats
 
 
+def stream_multi(
+    spark: SparkSession,
+    tables: dict[str, LakeTable],
+    schemas: dict[str, Any],
+    binlog_dir: str,
+    checkpoint_dir: str,
+    checkpoint_id: str = "multi",
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    transforms: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
+    **merge_kwargs: Any,
+):
+    """Continuous multi-stream demux: ONE Structured Streaming query over a
+    raw Singer JSONL artifact fans each micro-batch out to every stream's
+    lake table — the streaming form of the catalog job (the reference's
+    tap continuously feeding a multi-stream target,
+    targets/AbstractPythonTarget.java:72-90 demux loop).
+
+    ``tables``/``schemas``/``transforms`` are keyed by stream name. Each
+    table fences independently on ``(checkpoint_id, epoch)`` so a replayed
+    micro-batch skips exactly the tables that already committed it —
+    per-stream exactly-once even when a crash lands between two streams'
+    merges of the same epoch. Returns the StreamingQuery."""
+    src = (
+        spark.readStream.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .text(binlog_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        from plugin_singer_spark import messages
+
+        env = messages.parse_lines(batch_df, line_col="value", seq_from_envelope=True)
+        for stream, table in tables.items():
+            if epoch_id <= table.last_committed_epoch(checkpoint_id):
+                continue  # this table already has this epoch (partial-crash replay)
+            ev = messages.records_for_stream(env, stream, schemas[stream], keep_envelope=("seq",))
+            if transforms and stream in transforms:
+                ev = transforms[stream](ev)
+            replay_cdc(
+                table,
+                ev,
+                stream=stream,
+                epoch=int(epoch_id),
+                checkpoint_id=checkpoint_id,
+                **merge_kwargs,
+            )
+
+    writer = src.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_binlog(
     spark: SparkSession,
     table: LakeTable,

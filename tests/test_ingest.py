@@ -278,3 +278,53 @@ def test_streaming_jsonl_source_and_restart_resume(spark, tmp_path, table):
     exp = expected_final_state(binlog).select("repo", "path", F.sha2("content", 256).alias("h"))
     got = table.read().select("repo", "path", F.sha2("content", 256).alias("h"))
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stream_multi_catalog_demux(spark, tmp_path):
+    """One streaming query demuxes a multi-stream Singer JSONL artifact into
+    per-stream lake tables with independent epoch fences; a second
+    availableNow pass on the same checkpoint is a no-op."""
+    import json as _json
+
+    from plugin_singer_spark.ingest.streaming import stream_multi
+
+    files = []
+    for f in range(4):
+        lines = [
+            _json.dumps({"type": "RECORD", "stream": "category", "seq": f * 10 + i,
+                         "record": {"categoryid": f * 10 + i, "categoryname": f"c{f}-{i}"}})
+            for i in range(2)
+        ] + [
+            _json.dumps({"type": "RECORD", "stream": "region", "seq": 1000 + f,
+                         "record": {"regionid": f, "regiondescription": f"r{f}"}})
+        ]
+        p = tmp_path / "src" / f"part-{f:03d}.jsonl"
+        p.parent.mkdir(exist_ok=True)
+        p.write_text("\n".join(lines) + "\n")
+        files.append(p)
+
+    schemas = {
+        "category": T.StructType([T.StructField("categoryid", T.IntegerType()),
+                                  T.StructField("categoryname", T.StringType())]),
+        "region": T.StructType([T.StructField("regionid", T.IntegerType()),
+                                T.StructField("regiondescription", T.StringType())]),
+    }
+    tables = {
+        "category": LakeTable.create(spark, str(tmp_path / "cat"), schemas["category"], ["categoryid"], num_buckets=2),
+        "region": LakeTable.create(spark, str(tmp_path / "reg"), schemas["region"], ["regionid"], num_buckets=2),
+    }
+    q = stream_multi(
+        spark, tables, schemas, str(tmp_path / "src"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, op_col=None,
+    )
+    q.awaitTermination(120)
+    assert tables["category"].read().count() == 8
+    assert tables["region"].read().count() == 4
+    v = {s: t.current_version() for s, t in tables.items()}
+    # replay the same checkpoint: all epochs fenced per table, no new commits
+    q2 = stream_multi(
+        spark, tables, schemas, str(tmp_path / "src"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, op_col=None,
+    )
+    q2.awaitTermination(120)
+    assert {s: t.current_version() for s, t in tables.items()} == v
