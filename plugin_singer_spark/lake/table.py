@@ -273,9 +273,17 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         include_deleted: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Read the table at a version (time travel), optionally pruned to a
         bucket subset — the MERGE path reads only touched buckets.
+
+        ``columns`` prunes the projection AT THE SCAN: without it, the MOR
+        resolution packs every column into the ``max_by`` struct and
+        Catalyst cannot push a caller's later ``select`` through the
+        aggregate — a 2-column projection would still read all columns of
+        dirty buckets. With it, the explicit read schema carries only the
+        requested columns plus keys/seq/tombstone internals.
 
         Merge-on-read resolution: when the snapshot carries delta files
         (unresolved change rows appended by merge_append), base and deltas
@@ -287,6 +295,11 @@ class LakeTable:
         filter is a plain parquet-pushable predicate on resolved buckets."""
         snap = self.snapshot(version)
         schema = snap.schema
+        if columns is not None:
+            need = set(columns) | set(snap.key_columns) | {SEQ_FIELD}
+            if DELETED_AT in schema.fieldNames():
+                need.add(DELETED_AT)
+            schema = T.StructType([f for f in schema.fields if f.name in need])
         want = None if buckets is None else {str(b) for b in buckets}
 
         def paths_of(m: dict[str, list[str]]) -> list[str]:
@@ -329,6 +342,8 @@ class LakeTable:
             df = clean
         if not include_deleted and DELETED_AT in df.columns:
             df = df.filter(F.col(DELETED_AT).isNull())
+        if columns is not None:
+            df = df.select(*columns)
         return df
 
     def read_sorted_within_buckets(self, version: int | None = None) -> DataFrame:

@@ -89,3 +89,22 @@ def test_parse_path_is_jvm_only(spark):
     struct = T.StructType([T.StructField("repo", T.StringType())])
     plan = plan_of(messages.parse_records_lean(lines, "s", struct, line_col="value"))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_mor_read_column_pruning(spark, tmp_path):
+    """read(columns=...) must shrink the parquet ReadSchema even for MOR
+    dirty buckets — a caller's select cannot push through the LWW max_by
+    struct, so the pruning has to happen at the read schema."""
+    from plugin_singer_spark.lake.merge import merge_append
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), REPOS, ["repo", "path"], num_buckets=2)
+    merge_append(t, spark.createDataFrame([(1, "I", "r", "p", "c", "py", "v")], COLS))
+    assert t.snapshot().delta_files  # dirty (MOR) path
+    pruned = t.read(columns=["repo", "path"])
+    assert pruned.columns == ["repo", "path"]
+    plan = plan_of(pruned)
+    read_schemas = [seg.split("...")[0] for seg in plan.split("ReadSchema: ")[1:]]
+    assert read_schemas and all("content" not in rs for rs in read_schemas)
+    # values identical to the unpruned read
+    full = sorted(map(tuple, t.read().select("repo", "path").collect()))
+    assert sorted(map(tuple, pruned.collect())) == full
