@@ -138,7 +138,7 @@ TARGETS: dict[str, ConnectorSpec] = {
                  "validate_records": "operators.validate"}),
         _target("pipelinewise-snowflake", "pipelinewise-target-snowflake", "target-snowflake",
                 "targets/PipelinewiseSnowflake.java:288-390",
-                {"batch_size_rows": "batch_events", "batch_wait_limit_seconds": "trigger.processingTime",
+                {"batch_size_rows": "batch_events", "batch_wait_limit_seconds": "job.batch_wait_limit_seconds (streaming trigger)",
                  "parallelism": "repartition.parallelism", "hard_delete": "merge_into(hard_delete=)",
                  "archive_load_files": "lineage (offset ranges per epoch)"}),
         _target("pipelinewise-redshift", "pipelinewise-target-redshift", "target-redshift",
@@ -156,10 +156,10 @@ TARGETS: dict[str, ConnectorSpec] = {
                  "flattening_max_depth": "flatten(depth=)"}),
         _target("datamillco-postgres", "singer-target-postgres", "target-postgres",
                 "targets/DatamillCoPostgres.java:145-181",
-                {"invalid_records_detect": "validate.enforce_threshold(detect=)",
+                {"invalid_records_detect": "job.invalid_records_detect",
                  "invalid_records_threshold": "validate.enforce_threshold(threshold=)",
                  "max_batch_rows": "batch_events",
-                 "before_run_sql": "job pre-hook", "after_run_sql": "job post-hook"}),
+                 "before_run_sql": "job.before_sql", "after_run_sql": "job.after_sql"}),
         _target("oracle", "kestra fork target-oracle", "target-oracle",
                 "targets/Oracle.java:103-139",
                 {"stream_maps": "operators.streammap", "prefer_float_over_numeric":

@@ -28,6 +28,11 @@ Job config (JSON)::
       "replication_key": "seq",              # INCREMENTAL only
       "write_mode": "mor",                   # mor | cow
       "checkpoint_id": "job",
+      "streaming": true,                     # Structured Streaming driver
+      "batch_wait_limit_seconds": 30,        # → trigger(processingTime=...)
+                                             #  (PipelinewiseSnowflake.java:300-304;
+                                             #   absent ⇒ bounded availableNow run)
+      "compact_every": 8,                    # MOR compaction cadence (batch replay)
       "validate": {...stream JSON-Schema...},      # optional (P15)
       "invalid_records_detect": true,              # DatamillCoPostgres.java:148
       "invalid_records_threshold": 0,
@@ -42,7 +47,14 @@ Job config (JSON)::
 Catalog-driven multi-stream jobs replace ``table`` with ``catalog`` (a
 Singer discovery doc, or ``"discover"`` to bootstrap the catalog from the
 raw artifact itself — the ``--discover`` run, taps/AbstractPythonTap.java:
-149-163) + ``streams_configurations`` + ``tables_root``.
+149-163) + ``streams_configurations`` + ``tables_root``. Additional
+catalog-job keys: ``epoch`` (artifact generation number — re-running the
+same epoch is fenced per stream), ``persist_empty_tables``,
+``type_options`` (use_singer_decimal / use_date_datatype /
+prefer_float_over_numeric), and per-entry ``where`` / ``limit`` in
+``streams_configurations`` (the BigQuery tap's query shaping). A
+``discover_only: true`` job returns the discovery document instead of
+ingesting.
 
 The run prints one JSON line: events, batches, final snapshot version and
 bookmarks — the ``Output{raw, count}`` analog
