@@ -164,8 +164,9 @@ def main() -> None:
         "minhash_signatures",
         "minhash_lsh_pairs",
         "simhash",
-        "ann_lsh_topk",  # the LSH scale path is the benched query; the
-        "embedding_neardup_lsh",  # exact variants stay pytest recall oracles
+        "ann_lsh_topk",  # the approximate-index scale paths are the benched
+        "ann_ivf_topk",  # queries; exact variants stay pytest recall oracles
+        "embedding_neardup_lsh",
         "exact_dedup",
     ]
     qs = entry.queries()
