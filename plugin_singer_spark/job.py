@@ -283,15 +283,30 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     # targets/Oracle.java:107-110)
     topts = TypeOptions(**cfg["type_options"]) if cfg.get("type_options") else None
 
+    # in-band SCHEMA messages evolve each stream's parse struct mid-stream
+    # (SURVEY §1.3): new columns flow through, the merge widens the table —
+    # the catalog schema is the baseline, not a ceiling
+    from plugin_singer_spark.lake.evolution import evolve_schema
+
+    inband: dict[str, T.StructType] = {}
+    for _seq, s_name, struct_ib, _keys in messages.collect_schemas(env, topts):
+        inband[s_name] = (
+            struct_ib if s_name not in inband else evolve_schema(inband[s_name], struct_ib)
+        )
+
     report: dict[str, Any] = {}
     for s in catalog.selected():
         struct = s.spark_schema(topts)
         keep = [p for p in s.selected_properties()]
         # keys are always kept (inclusion=automatic in the reference)
         cols = list(dict.fromkeys(s.key_properties + keep))
-        struct = T.StructType(
-            [f for f in struct.fields if f.name in cols] + [T.StructField("op", T.StringType())]
-        )
+        struct = T.StructType([f for f in struct.fields if f.name in cols])
+        if s.stream in inband:
+            # columns the catalog doesn't know yet (mid-stream ADD COLUMN)
+            known = set(f.name for f in s.spark_schema(topts).fields)
+            extra = [f for f in inband[s.stream].fields if f.name not in known]
+            struct = evolve_schema(struct, T.StructType(list(struct.fields) + extra))
+        struct = T.StructType(list(struct.fields) + [T.StructField("op", T.StringType())])
         recs = messages.records_for_stream(env, s.stream, struct, keep_envelope=("seq",))
         recs = recs.withColumn("op", F.coalesce(F.col("op"), F.lit("U")))
         # per-stream WHERE + limit (taps/BigQuery.java:46-50,128-141): the

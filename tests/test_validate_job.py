@@ -540,3 +540,39 @@ def test_job_streaming_mode(spark, tmp_path):
     exp = expected_final_state(binlog).select("repo", "path", "content")
     got = LakeTable(spark, cfg["table"]["path"]).read().select("repo", "path", "content")
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_catalog_job_inband_schema_evolution(spark, tmp_path):
+    """A mid-stream SCHEMA message adds a column the catalog doesn't know:
+    records after it carry the value, the table widens (SURVEY §1.3)."""
+    import json as _json
+
+    from plugin_singer_spark.job import run_job
+    from plugin_singer_spark.lake import LakeTable
+
+    lines = (
+        [_json.dumps({"type": "RECORD", "stream": "cat", "seq": i,
+                      "record": {"id": i, "name": f"c{i}"}}) for i in range(3)]
+        + [_json.dumps({"type": "SCHEMA", "stream": "cat", "seq": 10,
+                        "schema": {"type": "object", "properties": {
+                            "id": {"type": "integer"},
+                            "name": {"type": ["null", "string"]},
+                            "stars": {"type": ["null", "integer"]}}}})]
+        + [_json.dumps({"type": "RECORD", "stream": "cat", "seq": 11,
+                        "record": {"id": 99, "name": "new", "stars": 7}})]
+    )
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text("\n".join(lines) + "\n")
+    cfg = {
+        "catalog": {"streams": [{"stream": "cat", "key_properties": ["id"],
+                                 "schema": {"type": "object", "properties": {
+                                     "id": {"type": "integer"},
+                                     "name": {"type": ["null", "string"]}}}}]},
+        "streams_configurations": [{"stream": "cat", "selected": True}],
+        "source": {"path": str(raw)},
+        "tables_root": str(tmp_path / "lake"),
+    }
+    out = run_job(spark, cfg)["streams"]["cat"]
+    assert "stars" in out["columns"]
+    rows = {r["id"]: r for r in LakeTable(spark, out["table"]).read().collect()}
+    assert rows[99]["stars"] == 7 and rows[0]["stars"] is None
