@@ -349,6 +349,59 @@ class LakeTable:
     def read_sorted_within_buckets(self, version: int | None = None) -> DataFrame:
         return self.read(version)
 
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental changelog (Iceberg incremental-scan analog): the
+        change rows committed in versions (from_version, to_version] — the
+        surface a DOWNSTREAM consumer tails to propagate this table's
+        changes further (lake-as-a-change-stream).
+
+        Exact for MOR commits, whose new files are pure change rows:
+        returns them with a ``_change_type`` column (``delete`` for
+        tombstones, else ``upsert``), LWW-resolved per key across the
+        window so a consumer applies one row per key. COW commits rewrite
+        whole buckets (their new files mix changed and carried-over rows),
+        so a window containing cow/compaction/maintenance commits raises —
+        replay those from the binlog instead."""
+        to_version = self.current_version() if to_version is None else to_version
+        new_paths: list[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            snap = self.snapshot(v)
+            modes = {r.get("mode") for r in snap.lineage[-1:]}
+            if not modes <= {"mor_append", "log_based_mor"}:
+                raise ValueError(
+                    f"version {v} is {sorted(modes)} — only MOR append commits "
+                    "have pure change files; replay COW windows from the binlog"
+                )
+            parent = self.snapshot(snap.parent) if snap.parent is not None else None
+            old = {p for fs in (parent.delta_files if parent else {}).values() for p in fs}
+            for fs in snap.delta_files.values():
+                new_paths.extend(p for p in fs if p not in old)
+        snap = self.snapshot(to_version)
+        schema = snap.schema
+        if not new_paths:
+            out = self.spark.createDataFrame([], schema)
+        else:
+            from plugin_singer_spark.lake.evolution import cast_to
+
+            out = cast_to(
+                self.spark.read.schema(schema).parquet(*[self._abs(p) for p in new_paths]),
+                schema,
+            )
+        # one row per key per window (consumers apply the net effect)
+        data_cols = [f.name for f in schema.fields if f.name not in snap.key_columns]
+        resolved = (
+            out.groupBy(*snap.key_columns)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in data_cols]),
+                    F.coalesce(F.col(SEQ_FIELD), F.lit(-1)),
+                ).alias("_r")
+            )
+            .select(*snap.key_columns, "_r.*")
+        )
+        change = F.when(F.col(DELETED_AT).isNotNull(), F.lit("delete")).otherwise(F.lit("upsert"))
+        return resolved.withColumn("_change_type", change)
+
     # ---------- writes ----------
 
     def write_buckets(

@@ -120,3 +120,27 @@ def test_jsonl_replay_files_parity_and_resume(spark, tmp_path, table):
     stats3 = replay_files(spark, table, jl, files_per_batch=2, input_format="jsonl",
                           record_schema=rec_schema, checkpoint_id="j")
     assert stats3.events == 0
+
+
+def test_read_changes_incremental_scan(spark, table):
+    """Changelog consumer surface: the change rows committed in a version
+    window, LWW-resolved per key, with delete markers; COW windows raise."""
+    from plugin_singer_spark.lake.merge import merge_append, merge_into
+
+    merge_append(table, spark.createDataFrame(
+        [(1, "I", "r", "a", "c", "py", "v1"), (2, "I", "r", "b", "c", "py", "w1")], COLS))
+    v1 = table.current_version()
+    merge_append(table, spark.createDataFrame(
+        [(3, "U", "r", "a", "c", "py", "v2"), (4, "U", "r", "a", "c", "py", "v3")], COLS))
+    merge_append(table, spark.createDataFrame([(5, "D", "r", "b", "c", "py", None)], COLS))
+    changes = {(r["repo"], r["path"]): (r["content"], r["_change_type"])
+               for r in table.read_changes(v1).collect()}
+    # window-resolved: one row per key, net effect
+    assert changes == {("r", "a"): ("v3", "upsert"), ("r", "b"): (None, "delete")}
+    # empty window
+    assert table.read_changes(table.current_version()).count() == 0
+    # a COW commit in the window is not a pure changelog
+    merge_into(table, spark.createDataFrame([(6, "U", "r", "a", "c", "py", "v4")], COLS))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="COW|cow|change files"):
+        table.read_changes(v1)
