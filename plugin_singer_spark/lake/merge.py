@@ -433,7 +433,9 @@ def compact(table: LakeTable, min_delta_files: int = 1, buckets: list[int] | Non
     resolved = table.read(buckets=todo, include_deleted=True).withColumn(
         "_bucket", bucket_expr(snap.key_columns, snap.num_buckets)
     )
-    new_files = table.write_buckets(resolved, snap.schema, num_buckets_hint=len(todo))
+    new_files = table.write_buckets(
+        resolved, snap.schema, num_buckets_hint=len(todo), sort_columns=snap.key_columns
+    )
     tset = {str(b) for b in todo}
     files = {b: fs for b, fs in snap.files.items() if b not in tset}
     files.update(new_files)

@@ -405,7 +405,11 @@ class LakeTable:
     # ---------- writes ----------
 
     def write_buckets(
-        self, df: DataFrame, schema: T.StructType, num_buckets_hint: int | None = None
+        self,
+        df: DataFrame,
+        schema: T.StructType,
+        num_buckets_hint: int | None = None,
+        sort_columns: list[str] | None = None,
     ) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``_bucket``) as a new immutable file set
         partitioned by bucket; returns bucket→relative-paths. One shuffle
@@ -429,6 +433,12 @@ class LakeTable:
             out = df.select("_bucket", *cols).repartition(n_part, probe_col)
         else:
             out = df.select("_bucket", *cols).repartition(n_part, "_bucket")
+        if sort_columns:
+            # key-clustered files: parquet row-group min/max on the keys
+            # become selective, so point lookups (one repo/path) prune row
+            # groups at the scan — compaction opts in (base files are
+            # long-lived and read-heavy; per-epoch deltas skip the sort)
+            out = out.sortWithinPartitions(*sort_columns)
         # Pin INT64-micros timestamps for the write regardless of caller
         # session conf: deprecated INT96 carries no column statistics, which
         # would break stats()'s scan-free tombstone counting

@@ -144,3 +144,21 @@ def test_read_changes_incremental_scan(spark, table):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="COW|cow|change files"):
         table.read_changes(v1)
+
+
+def test_compaction_clusters_by_key(spark, table):
+    """Compacted base files are sorted by the upsert key within each bucket
+    — parquet row-group min/max on the keys become selective for point
+    lookups."""
+    from plugin_singer_spark.lake.merge import compact, merge_append
+
+    merge_append(table, spark.createDataFrame(
+        [(i, "I", f"r{i % 5}", f"p{i:03d}", "c", "py", f"v{i}") for i in range(200)], COLS))
+    compact(table)
+    snap = table.snapshot()
+    assert not snap.delta_files
+    for fs in snap.files.values():
+        for rel in fs:
+            rows = spark.read.parquet(table._abs(rel)).select("repo", "path").collect()
+            keys = [(r["repo"], r["path"]) for r in rows]
+            assert keys == sorted(keys), rel  # clustered within the file
