@@ -179,6 +179,22 @@ def q_cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("repo", "path", "commit", "lang", "content")
 
 
+def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog through the REAL engine: chunked MOR replay of
+    the derived binlog (no compaction), then read_changes over the whole
+    window — the net change per key with delete markers. Oracle: the LWW
+    window over the same binlog with op→change-type mapping."""
+    import atexit
+    import shutil
+
+    b = derived_binlog(spark, sf_dir).withColumn("ts", F.lit(None).cast("timestamp"))
+    root = tempfile.mkdtemp(prefix="entry_changelog_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = LakeTable.create(spark, os.path.join(root, "repos"), REPOS_SCHEMA, ["repo", "path"], num_buckets=16)
+    replay_chunked(t, b, batch_events=4000, checkpoint_id="entry_cl", mode="mor", final_compact=False)
+    return t.read_changes(0).select("repo", "path", "commit", "lang", "content", "_change_type")
+
+
 def q_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 bookmark filter: records past the 80th-percentile-of-max bookmark
     (exclusive), plus the advanced bookmark."""
@@ -537,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_record_counts": q_stream_record_counts,
         "lww_final_state": q_lww_final_state,
         "cdc_merge_final_state": q_cdc_merge_final_state,
+        "changelog": q_changelog,
         "incremental_sync": q_incremental_sync,
         "state_fold": q_state_fold,
         "batch_dedup_counts": q_batch_dedup_counts,
@@ -596,6 +613,14 @@ WITH {BINLOG_CTE}
 SELECT lang AS stream, count(*) AS record_count FROM binlog GROUP BY 1""",
         "lww_final_state": FINAL_STATE_SQL,
         "cdc_merge_final_state": FINAL_STATE_SQL,
+        "changelog": f"""
+WITH {BINLOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM binlog)
+SELECT repo, path, commit, lang, content,
+       CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS _change_type
+FROM ranked WHERE rn = 1""",
         "incremental_sync": f"""
 WITH {BINLOG_CTE},
 bm AS (SELECT CAST(max(seq) * 4 // 5 AS BIGINT) AS b FROM binlog)
