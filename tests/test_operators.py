@@ -176,15 +176,17 @@ def test_simhash_similar_docs_close(spark):
 # ---- similarity ------------------------------------------------------------
 
 def test_ann_lsh_recall(spark, emb):
+    """Auto-derived planes (corpus-size rule) must clear the same recall
+    gate as MinHash banding — 0.8, not the old 0.5 floor."""
     dim = len(emb.select("embedding").first()[0])
     q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
     c = emb.filter(F.col("vec_id") % 50 != 0)
     exact = sim.brute_force_topk(c, q, k=5)
-    approx = sim.lsh_topk(c, q, dim=dim, k=5, planes=4, multiprobe=2)
+    approx = sim.lsh_topk(c, q, dim=dim, k=5)  # planes auto from corpus size
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"ANN recall {recall}"
+    assert recall >= 0.8, f"ANN recall {recall}"
 
 
 def test_cosine_self_is_one(spark, emb):
@@ -247,10 +249,10 @@ def test_embedding_neardup_lsh_recall(spark, emb):
     dim = len(emb.select("embedding").first()[0])
     exact = {(r.id_a, r.id_b) for r in sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, exact=True).collect()}
     lsh = {(r.id_a, r.id_b) for r in sim.embedding_neardup_pairs(
-        emb, dim=dim, threshold=0.35, planes=4, tables=8, exact=False).collect()}
+        emb, dim=dim, threshold=0.35, exact=False).collect()}  # planes auto
     assert lsh.issubset(exact)  # verify stage restores precision
     if exact:
-        assert len(lsh & exact) / len(exact) >= 0.5  # bucketing recall floor
+        assert len(lsh & exact) / len(exact) >= 0.8  # bucketing recall gate
 
 
 def test_simhash_pandas_equals_declarative(spark, docs):
@@ -268,14 +270,35 @@ def test_ivf_recall_and_determinism(spark, emb):
     q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
     c = emb.filter(F.col("vec_id") % 50 != 0)
     exact = sim.brute_force_topk(c, q, k=5)
-    approx = sim.ivf_topk(c, q, dim=dim, k=5, nlist=8, nprobe=4)
+    approx = sim.ivf_topk(c, q, dim=dim, k=5, nlist=16, nprobe=8)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"IVF recall {recall}"
+    assert recall >= 0.8, f"IVF recall {recall}"
     c1 = sim.ivf_centroids(c, dim, nlist=4, iters=1)
     c2 = sim.ivf_centroids(c, dim, nlist=4, iters=1)
     assert c1 == c2
+
+
+def test_ivf_large_nlist_plan_stays_sane(spark, emb):
+    """nlist=256: centroid assignment must NOT inline nlist×dim literals
+    into the plan (r2 formulation exploded plan compile past nlist≈100).
+    The kernel ships centroids as a broadcast numpy matrix, so the analyzed
+    plan stays small and the query completes quickly even when nlist is
+    half the corpus."""
+    import time
+
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.filter(F.col("vec_id") % 50 != 0)
+    t0 = time.time()
+    approx = sim.ivf_topk(c, q, dim=dim, k=5, nlist=256, nprobe=64, iters=1)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000, f"plan blew up: {len(plan)} chars"
+    e = {(r["query_id"], r["vec_id"]) for r in sim.brute_force_topk(c, q, k=5).collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
+    assert time.time() - t0 < 120
 
 
 def test_bpe_token_count(spark):
