@@ -117,6 +117,7 @@ def replay_cdc(
     checkpoint_id: str | None = None,
     envelope_cols: tuple[str, ...] = ("ts",),
     mode: str = "cow",
+    lineage_extra: dict[str, Any] | None = None,
     **merge_kwargs: Any,
 ) -> IngestReport:
     """LOG_BASED replication: replay change events in (from_seq, to_seq],
@@ -163,6 +164,7 @@ def replay_cdc(
             "stream": stream,
             "offset_from": from_seq,
             "epoch": epoch,
+            **(lineage_extra or {}),
         },
         **merge_kwargs,
     )

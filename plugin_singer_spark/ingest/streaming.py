@@ -72,6 +72,8 @@ def replay_chunked(
     10^10-event replay shape) and compacts every ``compact_every`` epochs
     and/or once at the end (``final_compact``) so reads stay bounded.
     """
+    import time as _time
+
     from plugin_singer_spark.lake.merge import compact
     stats = ReplayStats()
     if transform is not None:
@@ -92,6 +94,7 @@ def replay_chunked(
             break
         if max_batches is not None and stats.batches >= max_batches:
             break
+        _t0 = _time.time()
         rep = replay_cdc(
             table,
             binlog,
@@ -111,8 +114,11 @@ def replay_chunked(
         epoch += 1
         if mode == "mor" and compact_every and (epoch - start_epoch) % compact_every == 0:
             compact(table, min_delta_files=max(1, compact_every))
+        stats.epoch_secs.append(round(_time.time() - _t0, 3))
     if mode == "mor" and final_compact:
+        _t0 = _time.time()
         compact(table, min_delta_files=1)
+        stats.final_compact_sec = round(_time.time() - _t0, 3)
     return stats
 
 
@@ -131,11 +137,19 @@ def replay_files(
     resume: bool = True,
     max_batches: int | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    archive_dir: str | None = None,
     **merge_kwargs: Any,
 ) -> ReplayStats:
     """Replay a staged binlog directory in FILE-granular micro-batches: one
     epoch reads only its own k files — zero re-scans of the full log (the
     ``maxFilesPerTrigger`` shape, without Structured Streaming's driver).
+
+    ``archive_dir`` retains each epoch's consumed raw files under
+    ``<archive_dir>/epoch=<n>/`` (hardlink when possible, copy otherwise)
+    BEFORE the merge commits, and records the archive paths in the epoch's
+    lineage record — the ``archive_load_files`` retention contract
+    (targets/PipelinewiseSnowflake.java:368-376): every commit points at a
+    replayable copy of exactly the raw input it consumed.
 
     ``input_format='jsonl'`` replays the raw Singer JSONL artifact: each
     epoch parses the envelope (one ``json_tuple`` per line) and casts RECORD
@@ -188,11 +202,17 @@ def replay_files(
             break
         _t0 = _time.time()
         chunk = chunks[epoch]
+        act_obs = None
+        activations: list[int] = []
         if input_format == "parquet":
             ev = spark.read.parquet(*chunk)
         elif record_schema is not None:
-            lines = spark.read.text(chunk)
-            ev = messages.parse_records_lean(lines, stream, record_schema, line_col="value")
+            # ACTIVATE_VERSION fences ride the same scan via Observation —
+            # the lean path used to drop them silently (ADVICE r2)
+            ev, act_obs = messages.parse_records_lean(
+                spark.read.text(chunk), stream, record_schema,
+                line_col="value", observe_activations=True,
+            )
         else:
             lines = spark.read.text(chunk)
             env = messages.parse_lines(lines, line_col="value", seq_from_envelope=True)
@@ -211,6 +231,25 @@ def replay_files(
             # load-side stages from the job config (stream maps, flatten,
             # validate, metadata columns) — applied per epoch, pre-merge
             ev = transform(ev)
+        lineage_extra = None
+        if archive_dir is not None:
+            # archive BEFORE the merge commit: a crash after the commit
+            # still leaves the pointer valid (at-least-once for the copy,
+            # exactly-once for the commit — re-archiving is idempotent)
+            adir = os.path.join(archive_dir, f"epoch={epoch}")
+            os.makedirs(adir, exist_ok=True)
+            archived = []
+            for f in chunk:
+                dst = os.path.join(adir, os.path.basename(f))
+                if not os.path.exists(dst):
+                    try:
+                        os.link(f, dst)
+                    except OSError:
+                        import shutil as _shutil
+
+                        _shutil.copy2(f, dst)
+                archived.append(dst)
+            lineage_extra = {"archive": archived}
         rep = replay_cdc(
             table,
             ev,
@@ -218,12 +257,20 @@ def replay_files(
             epoch=epoch,
             checkpoint_id=checkpoint_id,
             mode=mode,
+            lineage_extra=lineage_extra,
             **merge_kwargs,
         )
         stats.events += rep.record_count
         stats.batches += 1
         stats.reports.append(rep)
-        if input_format != "parquet" and record_schema is None and activations:
+        if act_obs is not None and rep.metrics.get("skipped_epoch") is None:
+            # the merge action materialized the observed parse node; a
+            # fenced-skip epoch never ran it (obs.get would block) but a
+            # skipped epoch's activation was applied on its first run
+            fence = act_obs.get.get("activate_fence")
+            if fence is not None:
+                activations.append(int(fence))
+        if activations:
             # ACTIVATE_VERSION in this epoch: rows older than the (last)
             # activation point were not re-sent by the resync — drop them
             from plugin_singer_spark.lake.merge import activate_version
@@ -344,15 +391,18 @@ def stream_binlog(
         # and Spark's checkpoint already delivers each file exactly once.
         # LWW merge makes any cross-batch ordering converge; the epoch fence
         # alone guards replays.
+        act_obs = None
         if input_format == "jsonl":
             from plugin_singer_spark import messages
 
-            batch_df = messages.parse_records_lean(
-                batch_df, stream, record_schema, line_col="value"
+            # fence detection rides the record parse (Observation) — the
+            # streaming lean path used to drop ACTIVATE_VERSION (ADVICE r2)
+            batch_df, act_obs = messages.parse_records_lean(
+                batch_df, stream, record_schema, line_col="value", observe_activations=True
             )
         if transform is not None:
             batch_df = transform(batch_df)
-        replay_cdc(
+        rep = replay_cdc(
             table,
             batch_df,
             stream=stream,
@@ -360,6 +410,12 @@ def stream_binlog(
             checkpoint_id=checkpoint_id,
             **merge_kwargs,
         )
+        if act_obs is not None and rep.metrics.get("skipped_epoch") is None:
+            fence_v = act_obs.get.get("activate_fence")
+            if fence_v is not None:
+                from plugin_singer_spark.lake.merge import activate_version
+
+                activate_version(table, below_seq=int(fence_v))
 
     writer = src.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
     if processing_time is not None:

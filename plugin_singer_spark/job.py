@@ -37,12 +37,27 @@ Job config (JSON)::
       "invalid_records_detect": true,              # DatamillCoPostgres.java:148
       "invalid_records_threshold": 0,
       "quarantine_path": "...",                    # default <table>_quarantine
-      "stream_map": {...},                         # optional (P19)
+      "stream_map": {...},                         # optional (P19);
+                                                   #  __alias__ renames the
+                                                   #  stream in report/views
       "flatten": {"max_level": 2},                 # optional (P16,
                                                    #  data_flattening_max_level)
       "add_metadata_columns": true,                # optional (P17)
-      "before_sql": ["..."], "after_sql": ["..."]  # DatamillCoPostgres.java:159-168
+      "before_sql": ["..."], "after_sql": ["..."], # DatamillCoPostgres.java:159-168
+      "archive_load_files": true,                  # retain consumed raw files
+                                                   #  per epoch + lineage ptr
+                                                   #  (PipelinewiseSnowflake.java:368-376)
+      "sink": {"format": "jsonl"|"csv"|"generic",  # file/generic TARGET
+               "path": "...", ...}                 #  (targets/Csv.java,
+                                                   #   targets/Json.java,
+                                                   #   targets/GenericTarget.java);
+                                                   #  without "table" the job is
+                                                   #  a pure tap→file run
     }
+
+    ``table.parallelism`` sets ``write.tasks_per_bucket`` (k files per
+    bucket per write — the reference's parallelism/max_parallelism,
+    targets/PipelinewisePostgres.java:155-156).
 
 Catalog-driven multi-stream jobs replace ``table`` with ``catalog`` (a
 Singer discovery doc, or ``"discover"`` to bootstrap the catalog from the
@@ -105,6 +120,51 @@ def _resolve_reader(spec: str) -> SourceReader:
     raise KeyError(f"unknown source reader {spec!r} (not registered, not a pkg.mod:fn path)")
 
 
+# ---------------------------------------------------------------------------
+# Sink adapters (the reference's file/generic TARGETS as a job.json key)
+# ---------------------------------------------------------------------------
+
+# (records_by_stream, sink_cfg) → {stream: written path/identifier}
+SinkWriter = Callable[[dict[str, DataFrame], dict], dict]
+_SINK_WRITERS: dict[str, SinkWriter] = {}
+
+
+def register_sink(name: str, writer: SinkWriter) -> None:
+    """Register a named sink writer ``(records_by_stream, sink_cfg) → paths``
+    — the GenericTarget plug point (targets/GenericTarget.java:29-68): any
+    consumer of per-stream record DataFrames can terminate the pipeline."""
+    _SINK_WRITERS[name] = writer
+
+
+def _write_sink(sink: dict[str, Any], records_by_stream: dict[str, DataFrame]) -> dict[str, str]:
+    """Write per-stream files per the ``sink`` config — the reference's
+    cheapest targets as a job.json key (CSV targets/Csv.java:52-98, JSONL
+    targets/Json.java:32-77: one ``<stream>.<ext>`` per stream, names stable
+    so the stream parses back from the filename)."""
+    from plugin_singer_spark.sinks.files import write_csv_streams, write_jsonl_streams
+
+    fmt = sink.get("format", "jsonl")
+    if fmt == "jsonl":
+        return write_jsonl_streams(records_by_stream, sink["path"])
+    if fmt == "csv":
+        return write_csv_streams(
+            records_by_stream,
+            sink["path"],
+            delimiter=sink.get("delimiter", ","),
+            quotechar=sink.get("quotechar", '"'),
+            header=bool(sink.get("header", True)),
+        )
+    if fmt == "generic":
+        spec = sink["writer"]
+        if spec in _SINK_WRITERS:
+            return _SINK_WRITERS[spec](records_by_stream, sink)
+        if ":" in spec:
+            mod, attr = spec.rsplit(":", 1)
+            return getattr(importlib.import_module(mod), attr)(records_by_stream, sink)
+        raise KeyError(f"unknown sink writer {spec!r} (not registered, not a pkg.mod:fn path)")
+    raise ValueError(f"unknown sink format {fmt!r}")
+
+
 def _load_source(spark: SparkSession, src: dict[str, Any]) -> DataFrame:
     """Batch-load one source per its format (scans stay declarative so
     Catalyst pushes the replication filters down into them)."""
@@ -134,10 +194,21 @@ def _load_source(spark: SparkSession, src: dict[str, Any]) -> DataFrame:
 # Load-side transform stages (stream map → flatten → validate → metadata)
 # ---------------------------------------------------------------------------
 
-def _build_transform(cfg: dict[str, Any], quarantine_path: str | None) -> Callable[[DataFrame], DataFrame] | None:
+def _build_transform(
+    cfg: dict[str, Any],
+    quarantine_path: str | None,
+    stream_map: dict[str, Any] | None = None,
+) -> Callable[[DataFrame], DataFrame] | None:
     """Compile the configured load stages into one DataFrame→DataFrame
     closure, applied per micro-batch before the merge. All stages are pure
-    Column expressions — no Python in the row path."""
+    Column expressions — no Python in the row path. ``stream_map`` overrides
+    ``cfg["stream_map"]`` (catalog jobs pass per-stream maps).
+
+    Quarantine is an at-least-once SIDE OUTPUT: it is appended before the
+    fenced merge commits, so a crash in between can duplicate quarantine
+    rows on replay (dedupe downstream on the metadata columns if exactness
+    matters there). The main table stays exactly-once — the fence guards the
+    commit, not the side output."""
     from plugin_singer_spark.messages import inject_metadata_columns
     from plugin_singer_spark.operators.flatten import flatten
     from plugin_singer_spark.operators.streammap import apply_stream_map
@@ -147,18 +218,28 @@ def _build_transform(cfg: dict[str, Any], quarantine_path: str | None) -> Callab
         validate_records,
     )
 
+    smap = stream_map if stream_map is not None else cfg.get("stream_map")
     stages: list[Callable[[DataFrame], DataFrame]] = []
-    if cfg.get("stream_map"):
+    if smap:
         stages.append(
-            lambda df: apply_stream_map(df, cfg["stream_map"], cfg.get("stream_map_config"))[0]
+            lambda df: apply_stream_map(df, smap, cfg.get("stream_map_config"))[0]
         )
     if cfg.get("flatten"):
         level = int(cfg["flatten"].get("max_level", 1))
         stages.append(lambda df: flatten(df, max_level=level))
     if cfg.get("validate"):
+        prev: list[DataFrame] = []
 
         def _validate(df: DataFrame) -> DataFrame:
-            validated = validate_records(df, cfg["validate"])
+            # cache the validated batch: the invalid count, the quarantine
+            # append AND the merge all read it — without the cache each of
+            # those actions recomputed the full validation plan (ADVICE r2).
+            # The previous batch's cache is dropped on the next call; the
+            # last one dies with the session.
+            if prev:
+                prev.pop().unpersist()
+            validated = validate_records(df, cfg["validate"]).persist()
+            prev.append(validated)
             rep = enforce_threshold(
                 validated,
                 detect=bool(cfg.get("invalid_records_detect", True)),
@@ -212,8 +293,15 @@ def _open_table(spark: SparkSession, cfg: dict[str, Any]):
     if LakeTable.exists(tcfg["path"]):
         return LakeTable(spark, tcfg["path"])
     schema = _struct_from_columns(tcfg["columns"])
+    props = {}
+    if tcfg.get("parallelism"):
+        # writer-parallelism knob (targets/PipelinewisePostgres.java:155-156):
+        # k write tasks (k files) per bucket — for clusters wider than the
+        # bucket count (lake/table.py write_buckets)
+        props["write.tasks_per_bucket"] = int(tcfg["parallelism"])
     return LakeTable.create(
-        spark, tcfg["path"], schema, tcfg["keys"], num_buckets=int(tcfg.get("num_buckets", 64))
+        spark, tcfg["path"], schema, tcfg["keys"],
+        num_buckets=int(tcfg.get("num_buckets", 64)), properties=props,
     )
 
 
@@ -236,6 +324,21 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     from footer stats. Per-stream record counts are reported like the
     reference's per-stream metrics (JsonTest.java:61-62: 8 category + 4
     region).
+
+    Naming / routing (the reference's schema-mapping knobs):
+    - ``stream_maps``: {stream: stream-map dict} — per-stream maps; a map's
+      ``__alias__`` RENAMES the stream, and the alias names the table dir,
+      the SQL-hook view and the report key (targets/Oracle.java:111-118).
+      ``stream_map`` (singular) still applies one map to every stream.
+    - ``table_prefix``: prepended to every table dir name
+      (``default_target_schema``/``table_prefix``,
+      targets/SqlServer.java:113-117).
+    - ``table_paths``: {stream: absolute path} per-stream override
+      (``schema_mapping``, targets/PipelinewisePostgres.java:164-169).
+    - ``sink``: {"format": "jsonl"|"csv"|"generic", "path"|..., ...} — write
+      one ``<stream>.<ext>`` file per selected stream (the reference's file
+      targets). With ``tables_root`` absent the job is a pure tap→file run
+      (no lake tables); with both, the sink tees the post-transform records.
     """
     from pyspark.sql import functions as F
 
@@ -265,7 +368,10 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     )
     if cfg.get("discover_only"):
         return {"discovered": to_discovery_doc(catalog)}
-    root = cfg["tables_root"]
+    root = cfg.get("tables_root")
+    sink = cfg.get("sink")
+    if root is None and sink is None:
+        raise ValueError("catalog job needs tables_root and/or sink")
     mode = cfg.get("write_mode", "mor")
     checkpoint_id = cfg.get("checkpoint_id", "catalog")
     epoch = int(cfg.get("epoch", 0))
@@ -273,7 +379,10 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     env = messages.parse_lines(
         spark.read.text(src["path"]), line_col="value", seq_from_envelope=True
     )
-    transform = _build_transform(cfg, cfg.get("quarantine_path"))
+    stream_maps = cfg.get("stream_maps") or {}
+    prefix = cfg.get("table_prefix", "")
+    table_paths = cfg.get("table_paths") or {}
+    default_transform = _build_transform(cfg, cfg.get("quarantine_path"))
 
     from plugin_singer_spark.schema import TypeOptions
 
@@ -295,6 +404,7 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
         )
 
     report: dict[str, Any] = {}
+    sink_records: dict[str, DataFrame] = {}
     for s in catalog.selected():
         struct = s.spark_schema(topts)
         keep = [p for p in s.selected_properties()]
@@ -317,9 +427,27 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             recs = recs.filter(F.expr(md["where"]))
         if md.get("limit") is not None:
             recs = recs.orderBy("seq").limit(int(md["limit"]))
+        smap = stream_maps.get(s.stream)
+        transform = (
+            _build_transform(cfg, cfg.get("quarantine_path"), stream_map=smap)
+            if smap is not None
+            else default_transform
+        )
+        # __alias__ renames the stream: table dir, view, sink file and
+        # report key all carry the new name (targets/Oracle.java:111-118)
+        from plugin_singer_spark.operators.streammap import ALIAS_KEY
+
+        alias = ((smap or cfg.get("stream_map") or {}).get(ALIAS_KEY)) or s.stream
         if transform is not None:
             recs = transform(recs)
-        tpath = os.path.join(root, s.stream)
+        if sink is not None:
+            sink_records[alias] = recs.drop(*[c for c in ("op", "seq") if c in recs.columns])
+        if root is None:
+            report[alias] = {"events": sink_records[alias].count(), "table": None}
+            if alias != s.stream:
+                report[alias]["source_stream"] = s.stream
+            continue
+        tpath = table_paths.get(s.stream) or os.path.join(root, f"{prefix}{alias}")
         tschema = T.StructType([f for f in recs.schema.fields if f.name not in ("op", "seq")])
         # keyless stream (e.g. discovered from raw records, where the source
         # metadata that names PKs isn't available): full-row identity key —
@@ -364,18 +492,26 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             compact(table, min_delta_files=1)
         if rep.record_count == 0 and created and not persist_empty:
             shutil.rmtree(tpath, ignore_errors=True)
-            report[s.stream] = {"events": 0, "table": None, "replication_method": method}
+            report[alias] = {"events": 0, "table": None, "replication_method": method}
             continue
-        table.read().createOrReplaceTempView(s.stream)  # lazy — for SQL hooks
-        report[s.stream] = {
+        table.read().createOrReplaceTempView(alias)  # lazy — for SQL hooks
+        report[alias] = {
             "events": rep.record_count,
             "final_rows": _final_rows(table),
             "table": tpath,
             "replication_method": method,
             "columns": [f.name for f in table.snapshot().schema.fields],
         }
+        if alias != s.stream:
+            report[alias]["source_stream"] = s.stream
+    out: dict[str, Any] = {"streams": report}
+    if sink is not None and sink_records:
+        paths = _write_sink(sink, sink_records)
+        for name, p in paths.items():
+            report.setdefault(name, {})["sink_path"] = p
+        out["sink"] = paths
     _run_sql_hooks(spark, cfg.get("after_sql"))
-    return {"streams": report}
+    return out
 
 
 def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
@@ -387,9 +523,40 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
 
     src = cfg["source"]
     stream = src.get("stream", "repos")
+    from plugin_singer_spark.operators.streammap import ALIAS_KEY
+
+    alias = (cfg.get("stream_map") or {}).get(ALIAS_KEY) or stream
     method = cfg.get("replication_method", "LOG_BASED").upper()
     mode = cfg.get("write_mode", "mor")
     checkpoint_id = cfg.get("checkpoint_id", "job")
+
+    if "table" not in cfg:
+        # pure tap→file job: the reference's file targets ARE the terminal
+        # target (targets/Csv.java, targets/Json.java) — no lake table
+        if not cfg.get("sink"):
+            raise ValueError("job needs a table and/or a sink")
+        df = _load_source(spark, src)
+        transform = _build_transform(cfg, cfg.get("quarantine_path"))
+        if transform is not None:
+            df = transform(df)
+        out_df = df.drop(*[c for c in ("op", "seq") if c in df.columns])
+        paths = _write_sink(cfg["sink"], {alias: out_df})
+        n = out_df.count()
+        return {
+            "stream": alias,
+            "events": n,
+            "batches": 1,
+            "sink": paths,
+            "metrics": [
+                {
+                    "type": "counter",
+                    "metric": "singer.record.count",
+                    "value": n,
+                    "tags": {"stream": alias.lower()},
+                }
+            ],
+        }
+
     tcfg = cfg["table"]
     quarantine_path = cfg.get("quarantine_path") or (
         tcfg["path"].rstrip("/") + "_quarantine" if cfg.get("validate") else None
@@ -398,10 +565,11 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
 
     if cfg.get("before_sql"):
         if LakeTable.exists(tcfg["path"]):
-            LakeTable(spark, tcfg["path"]).read().createOrReplaceTempView(stream)
+            LakeTable(spark, tcfg["path"]).read().createOrReplaceTempView(alias)
         _run_sql_hooks(spark, cfg["before_sql"])
 
     table = _open_table(spark, cfg)
+    epoch_secs: list[float] = []
 
     if method == "LOG_BASED" and src.get("format", "parquet") in ("parquet", "jsonl"):
         record_schema = None
@@ -416,9 +584,10 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             # bounded (availableNow ≈ break_at_end_lsn).
             from plugin_singer_spark.ingest.streaming import stream_binlog
 
-            events_before = sum(
-                r.get("source_rows") or 0 for r in table.snapshot().lineage
-            )
+            # monotonic snapshot-property counter, NOT a sum over lineage:
+            # lineage is capped at the last 1000 records, so a lineage sum
+            # over-counts past 1000 commits (VERDICT r2 #5)
+            events_before = int(table.snapshot().properties.get("total_source_rows", 0))
             wait = cfg.get("batch_wait_limit_seconds")
             q = stream_binlog(
                 spark,
@@ -438,9 +607,9 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             if wait is None:
                 q.awaitTermination()
             out = {
-                # this run's events only: lineage delta (a fenced re-run
+                # this run's events only: counter delta (a fenced re-run
                 # commits nothing, so the delta is correctly 0)
-                "events": sum(r.get("source_rows") or 0 for r in table.snapshot().lineage)
+                "events": int(table.snapshot().properties.get("total_source_rows", 0))
                 - events_before,
                 "batches": table.last_committed_epoch(checkpoint_id) + 1,
                 "streaming": True,
@@ -448,6 +617,11 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             if wait is not None:
                 out["query_id"] = str(q.id)  # caller owns the long-running query
         else:
+            archive_dir = None
+            if cfg.get("archive_load_files"):
+                # retain consumed raw files per epoch, pointer in lineage
+                # (archive_load_files, PipelinewiseSnowflake.java:368-376)
+                archive_dir = cfg.get("archive_path") or (tcfg["path"].rstrip("/") + "_archive")
             stats = replay_files(
                 spark,
                 table,
@@ -460,8 +634,10 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
                 mode=mode,
                 compact_every=cfg.get("compact_every"),
                 transform=transform,
+                archive_dir=archive_dir,
             )
             out = {"events": stats.events, "batches": stats.batches}
+            epoch_secs = stats.epoch_secs
     elif method == "LOG_BASED":
         # generic/jdbc CDC source: a DataFrame of change events replayed in
         # seq-range micro-batches through the same fenced merge
@@ -476,6 +652,7 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             transform=transform,
         )
         out = {"events": stats.events, "batches": stats.batches}
+        epoch_secs = stats.epoch_secs
     elif method == "INCREMENTAL":
         key = cfg["replication_key"]
         df = _load_source(spark, src)
@@ -501,27 +678,33 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     else:
         raise ValueError(f"unknown replication_method {method!r}")
 
+    # Singer METRIC parity (AbstractPythonSinger.java:322-356): the per-run
+    # counter AND the per-batch duration timers the reference extracts from
+    # tap stderr (models/Metric.java:10-22, counter/timer switch at
+    # AbstractPythonSinger.java:229-236), with the same ``singer.`` prefix +
+    # ``[_-]→.`` name mangling and lowercased tag values (ingest/metrics.py)
+    from plugin_singer_spark.ingest.metrics import Metric
+
+    job_metrics = [
+        Metric(type="counter", metric="record_count", value=out["events"], tags={"stream": alias})
+    ] + [
+        Metric(type="timer", metric="batch_duration", value=sec, tags={"stream": alias, "batch": i})
+        for i, sec in enumerate(epoch_secs)
+    ]
     out.update(
         {
-            "stream": stream,
+            "stream": alias,
             "snapshot_version": table.current_version(),
             "bookmarks": table.bookmarks(),
             "final_rows": _final_rows(table),
-            # Singer METRIC parity (AbstractPythonSinger.java:322-356): the
-            # per-run counter the reference extracts from tap stderr, with
-            # the same name mangling / tag lowering (ingest/metrics.py)
             "metrics": [
-                {
-                    "type": "counter",
-                    "metric": "singer.record.count",
-                    "value": out["events"],
-                    "tags": {"stream": stream.lower()},
-                }
+                {"type": m.type, "metric": m.qualified_name, "value": m.value, "tags": m.mangled_tags()}
+                for m in job_metrics
             ],
         }
     )
     if cfg.get("after_sql"):
-        table.read().createOrReplaceTempView(stream)
+        table.read().createOrReplaceTempView(alias)
         _run_sql_hooks(spark, cfg["after_sql"])
     return out
 

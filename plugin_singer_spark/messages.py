@@ -122,25 +122,48 @@ def parse_records_lean(
     stream: str,
     struct: T.StructType,
     line_col: str = "value",
-) -> DataFrame:
+    observe_activations: bool = False,
+):
     """Typed RECORD rows for one stream straight from raw JSONL — the replay
     hot path. Same two-step shape as :func:`parse_lines` +
     :func:`records_for_stream` (json_tuple envelope, flat from_json record —
     measured faster than one nested from_json over the whole line), but the
-    json_tuple extracts only the four fields the replay needs
-    (type/stream/seq/record) instead of the full 7-column envelope
-    (~15% parse-stage win). Use the full parse when SCHEMA/STATE handling or
-    ``time_extracted`` is needed."""
+    json_tuple extracts only the fields the replay needs instead of the full
+    7-column envelope (~15% parse-stage win). Use the full parse when
+    SCHEMA/STATE handling or ``time_extracted`` is needed.
+
+    ``observe_activations=True`` returns ``(df, Observation)``: the
+    observation computes ``activate_fence`` = max ACTIVATE_VERSION fence for
+    the stream in this batch, riding the SAME scan as the record parse (no
+    second pass over the text — the full-resync fence used to be silently
+    dropped on the lean paths, ADVICE r2). Read ``obs.get`` only AFTER an
+    action consumed the returned DataFrame."""
+    fields = ["type", "stream", "seq", "record"] + (["version"] if observe_activations else [])
     p = lines.select(
-        F.json_tuple(F.col(line_col), "type", "stream", "seq", "record").alias(
-            "type", "stream", "_seq", "record"
+        F.json_tuple(F.col(line_col), *fields).alias(
+            *(["type", "stream", "_seq", "record"] + (["_version"] if observe_activations else []))
         )
     )
-    return (
+    obs = None
+    if observe_activations:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        p = p.observe(
+            obs,
+            F.max(
+                F.when(
+                    (F.upper(F.col("type")) == "ACTIVATE_VERSION") & (F.col("stream") == stream),
+                    F.coalesce(F.col("_version").cast("long"), F.col("_seq").cast("long")),
+                )
+            ).alias("activate_fence"),
+        )
+    out = (
         p.filter((F.upper(F.col("type")) == RECORD) & (F.col("stream") == stream))
         .select(F.col("_seq").cast("long").alias("seq"), F.from_json("record", struct).alias("r"))
         .select("seq", "r.*")
     )
+    return (out, obs) if observe_activations else out
 
 
 def collect_states(env: DataFrame) -> list[tuple[int, dict[str, Any]]]:
