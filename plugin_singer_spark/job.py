@@ -47,10 +47,16 @@ Job config (JSON)::
       "archive_load_files": true,                  # retain consumed raw files
                                                    #  per epoch + lineage ptr
                                                    #  (PipelinewiseSnowflake.java:368-376)
-      "sink": {"format": "jsonl"|"csv"|"generic",  # file/generic TARGET
-               "path": "...", ...}                 #  (targets/Csv.java,
-                                                   #   targets/Json.java,
-                                                   #   targets/GenericTarget.java);
+      "sink": {"format": "jsonl"|"csv"|"parquet"   # file/generic/relational
+                        |"jdbc"|"generic",         #  TARGET (targets/Csv.java,
+               "path": "...", ...}                 #   targets/Json.java,
+                                                   #   targets/GenericTarget.java,
+                                                   #   pipelinewise SQL targets —
+                                                   #   jdbc: "url", "mode",
+                                                   #   default_target_schema,
+                                                   #   table_prefix, hard_delete,
+                                                   #   primary_keys, batch_size_rows,
+                                                   #   parallelism — sinks/jdbc.py);
                                                    #  without "table" the job is
                                                    #  a pure tap→file run
     }
@@ -141,11 +147,21 @@ def _write_sink(sink: dict[str, Any], records_by_stream: dict[str, DataFrame]) -
     cheapest targets as a job.json key (CSV targets/Csv.java:52-98, JSONL
     targets/Json.java:32-77: one ``<stream>.<ext>`` per stream, names stable
     so the stream parses back from the filename)."""
-    from plugin_singer_spark.sinks.files import write_csv_streams, write_jsonl_streams
+    from plugin_singer_spark.sinks.files import (
+        write_csv_streams,
+        write_jsonl_streams,
+        write_parquet_streams,
+    )
 
     fmt = sink.get("format", "jsonl")
     if fmt == "jsonl":
         return write_jsonl_streams(records_by_stream, sink["path"])
+    if fmt == "parquet":
+        return write_parquet_streams(records_by_stream, sink["path"])
+    if fmt == "jdbc":
+        from plugin_singer_spark.sinks.jdbc import write_jdbc_streams
+
+        return write_jdbc_streams(records_by_stream, sink)
     if fmt == "csv":
         return write_csv_streams(
             records_by_stream,

@@ -77,6 +77,24 @@ def write_csv_streams(
     return paths
 
 
+def write_parquet_streams(
+    records_by_stream: dict[str, DataFrame], out_dir: str
+) -> dict[str, str]:
+    """One ``<stream>.parquet/`` DIRECTORY per stream — the columnar
+    variant of the per-stream file sinks. Unlike the csv/jsonl parity
+    artifacts this stays a multi-part directory on purpose: parquet is
+    splittable and the 100 TB use of this sink is handing a stream to the
+    next Spark/DuckDB job, where a driver-side concat to one file would
+    serialize the write and destroy scan parallelism downstream."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for stream, df in records_by_stream.items():
+        out = os.path.join(out_dir, f"{stream}.parquet")
+        df.write.mode("overwrite").parquet(out)
+        paths[stream] = out
+    return paths
+
+
 def stream_name_from_path(path: str) -> str:
     """targets/Csv.java:86-96 — stream name parsed from the filename."""
     return os.path.splitext(os.path.basename(path))[0]

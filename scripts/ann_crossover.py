@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DIM = 64
 N_CLUSTERS = 256
-N_QUERIES = 20
+N_QUERIES = int(os.environ.get("ANN_QUERIES", "20"))
 
 
 def synth_embeddings(spark, n: int):

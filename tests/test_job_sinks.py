@@ -124,6 +124,70 @@ def test_generic_sink_registered(spark, tmp_path, raw_two_streams):
     assert out["sink"]["category"] == "mem://category"
 
 
+def test_catalog_sink_parquet(spark, tmp_path, raw_two_streams):
+    """Columnar per-stream sink: one <stream>.parquet directory per stream
+    (stays multi-part — splittable for the next engine in the chain)."""
+    out_dir = tmp_path / "pq"
+    cfg = _catalog_cfg(raw_two_streams, tmp_path, sink={"format": "parquet", "path": str(out_dir)})
+    out = run_job(spark, cfg)
+    assert out["sink"]["category"].endswith("category.parquet")
+    cat = spark.read.parquet(out["sink"]["category"])
+    assert cat.count() == 8 and set(cat.columns) == {"categoryid", "categoryname"}
+
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def test_catalog_sink_jdbc_derby(spark, tmp_path, raw_two_streams):
+    """JDBC relational target round-trip against Spark's bundled embedded
+    Derby — the pipelinewise SQL-target analog (PipelinewisePostgres.java,
+    SqlServer.java): table named <table_prefix><stream>, distributed
+    batched INSERTs, read back by Spark's jdbc source."""
+    url = f"jdbc:derby:{tmp_path}/sinkdb;create=true"
+    cfg = _catalog_cfg(
+        raw_two_streams, tmp_path,
+        sink={"format": "jdbc", "url": url, "table_prefix": "stg_",
+              "batch_size_rows": 100, "options": {"driver": DERBY}},
+    )
+    out = run_job(spark, cfg)
+    assert out["sink"]["category"] == "stg_category"
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "stg_category").option("driver", DERBY)
+        .load()
+    )
+    got = {(int(r[0]), str(r[1])) for r in back.collect()}  # Derby uppercases names
+    assert got == {(i, f"c{i}") for i in range(8)}
+
+
+def test_jdbc_sink_lww_and_hard_delete(spark, tmp_path):
+    """primary_keys → pre-load LWW dedup on the change sequence;
+    hard_delete drops tombstoned rows from the relational load
+    (PipelinewisePostgres.java:104-106). Overwrite reload is idempotent."""
+    from plugin_singer_spark.sinks.jdbc import write_jdbc_streams
+
+    url = f"jdbc:derby:{tmp_path}/lwwdb;create=true"
+    df = spark.createDataFrame(
+        [("r", "a", "c1", 1, None), ("r", "a", "c2", 2, None),
+         ("r", "b", "cb", 1, "2026-01-01T00:00:00Z")],
+        "repo string, path string, commit string, seq long, _sdc_deleted_at string",
+    )
+    sink = {"url": url, "mode": "overwrite", "hard_delete": True,
+            "primary_keys": {"repos": ["repo", "path"]}, "sequence_column": "seq",
+            "parallelism": 2, "options": {"driver": DERBY}}
+    for _ in range(2):  # overwrite reload: second run is a no-op state-wise
+        written = write_jdbc_streams({"repos": df}, sink)
+    assert written == {"repos": "repos"}
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "repos").option("driver", DERBY)
+        .load()
+    )
+    rows = [tuple(r) for r in back.collect()]
+    assert len(rows) == 1  # LWW kept seq=2 for (r,a); (r,b) tombstone dropped
+    assert rows[0][2] == "c2" and len(back.columns) == 4  # _sdc_deleted_at gone
+
+
 # ---- alias + table naming ---------------------------------------------------
 
 def test_catalog_stream_alias_prefix_and_path_override(spark, tmp_path, raw_two_streams):
