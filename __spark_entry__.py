@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from plugin_singer_spark import messages
 from plugin_singer_spark.lake import LakeTable
 from plugin_singer_spark.ingest.streaming import replay_chunked
+from plugin_singer_spark.operators import corpus as cp
 from plugin_singer_spark.operators import dedup as dd
 from plugin_singer_spark.operators import similarity as sim
 from plugin_singer_spark.operators import text as tx
@@ -550,6 +551,80 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "media_sha256", "n_bytes")
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 3-gram with
+    the (deterministic) eval slice are flagged (operators/corpus.py —
+    broadcast semi-join against the tiny eval n-gram set, one corpus scan)."""
+    d = _t(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    out = cp.decontaminate(corpus, eval_docs, "doc_id", "text", n=3)
+    return out.select("doc_id", "n_hits", F.col("contaminated").cast("int").alias("contaminated"))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text with deterministically injected emails/IPs/
+    long ids (the synthetic corpus has none): per-doc match counts + the
+    sha256 of the redacted text (operators/corpus.py:pii_redact)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 ref 1234567"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    r = cp.pii_redact(d, "text")
+    return r.select(
+        "doc_id", "n_emails", "n_ips", "n_ids",
+        F.sha2("text_redacted", 256).alias("redacted_sha256"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition (duplicated 3-gram ratio, Gopher-style) —
+    pure codegen expressions (operators/corpus.py:repetition_stats)."""
+    r = cp.repetition_stats(_t(spark, sf_dir, "documents"), "text", n=3)
+    return r.select("doc_id", "n_ngrams", "n_uniq_ngrams", "dup_ngram_ratio")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment, aggregated per
+    (split, lang) — membership depends only on the key, so it is stable
+    under re-runs and corpus growth (operators/corpus.py:hash_split)."""
+    s = cp.hash_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return s.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context packing (concat-and-chunk): each hash group's token stream
+    is chunked into exact 64-token sequences; per-doc stream offset and
+    sequence span — a cumulative-sum window per group, no Python
+    (operators/corpus.py:pack_sequences)."""
+    p = cp.pack_sequences(_t(spark, sf_dir, "documents"), "doc_id", "text", budget=64, num_groups=8)
+    return p.select(
+        F.col("id").alias("doc_id"), "grp", "n_tokens", "tok_offset", "seq_first", "seq_last"
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top-5 bigrams per lang (explode →
+    partial-agg count → per-group top-k window; operators/corpus.py)."""
+    t = cp.top_ngrams(_t(spark, sf_dir, "documents"), "lang", "text", n=2, k=5)
+    return t.select("lang", "gram", "n_occurrences", F.col("rank").cast("long").alias("rank"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components (alternating large/small-
+    star, O(log n) join rounds) over the exact-Jaccard near-dup pair graph;
+    cluster id = min reachable doc id. Oracle: recursive-CTE transitive
+    closure in DuckDB (operators/corpus.py:connected_components)."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    cc = cp.connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "message_type_counts": q_message_type_counts,
@@ -586,6 +661,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_map": q_stream_map,
         "record_validation": q_record_validation,
         "multimodal_features": q_multimodal_features,
+        "decontamination": q_decontamination,
+        "pii_redaction": q_pii_redaction,
+        "repetition_stats": q_repetition_stats,
+        "dataset_split": q_dataset_split,
+        "sequence_packing": q_sequence_packing,
+        "top_ngrams": q_top_ngrams,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -842,6 +924,113 @@ FROM documents""",
     # the Arrow SimHash kernel is bit-equal to the declarative variant —
     # same oracle, so the pandas path is SQL-value-hash verified too
     d["simhash_pandas"] = d["simhash"]
+
+    # ---- corpus-curation operators (operators/corpus.py) ----
+    d["decontamination"] = f"""
+WITH {shingle_cte},
+eval_grams AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_hits
+  FROM sh JOIN eval_grams USING (shingle)
+  WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0"""
+
+    from plugin_singer_spark.operators.corpus import EMAIL_RE, IPV4_RE, LONG_DIGITS_RE
+
+    pii_text = (
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+        "'@example.com from 10.0.', CAST(doc_id % 256 AS VARCHAR), "
+        "'.7 ref 1234567', CAST(doc_id AS VARCHAR))"
+    )
+    d["pii_redaction"] = (
+        "WITH base AS (SELECT doc_id, " + pii_text + " AS text FROM documents),\n"
+        "r1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '" + EMAIL_RE + "')) AS INT) AS n_emails,\n"
+        "              regexp_replace(text, '" + EMAIL_RE + "', '<EMAIL>', 'g') AS t FROM base),\n"
+        "r2 AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t, '" + IPV4_RE + "')) AS INT) AS n_ips,\n"
+        "              regexp_replace(t, '" + IPV4_RE + "', '<IP>', 'g') AS t FROM r1),\n"
+        "r3 AS (SELECT doc_id, n_emails, n_ips, CAST(len(regexp_extract_all(t, '" + LONG_DIGITS_RE + "')) AS INT) AS n_ids,\n"
+        "              regexp_replace(t, '" + LONG_DIGITS_RE + "', '<ID>', 'g') AS t FROM r2)\n"
+        "SELECT doc_id, n_emails, n_ips, n_ids, sha256(t) AS redacted_sha256 FROM r3"
+    )
+
+    d["repetition_stats"] = f"""
+WITH {tokens_cte},
+g AS (SELECT doc_id,
+             [array_to_string(toks[i+1:i+3], ' ')
+              FOR i IN range(0, greatest(len(toks) - 3, 0) + 1)] AS grams
+      FROM tok)
+SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_uniq_ngrams,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                  ELSE 0.0 END, 6) AS dup_ngram_ratio
+FROM g"""
+
+    d["dataset_split"] = f"""
+WITH s AS (
+  SELECT lang, {HASH64_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM s GROUP BY 1, 2"""
+
+    d["sequence_packing"] = f"""
+WITH {tokens_cte},
+base AS (
+  SELECT doc_id, {HASH64_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 8 AS grp,
+         CAST(len(toks) AS INT) AS n_tokens
+  FROM tok),
+c AS (
+  SELECT doc_id, grp, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base)
+SELECT doc_id, grp, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+       CAST(floor((cum - n_tokens) * 1.0 / 64) AS BIGINT) AS seq_first,
+       CAST(CASE WHEN n_tokens > 0 THEN floor((cum - 1) * 1.0 / 64)
+                 ELSE floor((cum - n_tokens) * 1.0 / 64) END AS BIGINT) AS seq_last
+FROM c"""
+
+    d["top_ngrams"] = f"""
+WITH {tokens_cte},
+g AS (
+  SELECT lang, unnest([array_to_string(toks[i+1:i+2], ' ')
+                       FOR i IN range(0, greatest(len(toks) - 2, 0) + 1)]) AS gram
+  FROM tok),
+counts AS (SELECT lang, gram, count(*) AS n_occurrences FROM g GROUP BY 1, 2),
+r AS (SELECT lang, gram, n_occurrences,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_occurrences DESC, gram ASC) AS rank
+      FROM counts)
+SELECT lang, gram, n_occurrences, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
+
+    d["dedup_clusters"] = f"""
+WITH RECURSIVE {shingle_cte},
+df_cut AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_cut USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.2),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+nodes AS (SELECT DISTINCT u AS id FROM edges)
+SELECT n.id AS doc_id, least(n.id, min(r.v)) AS cluster_id
+FROM nodes n JOIN reach r ON r.u = n.id
+GROUP BY n.id"""
     return d
 
 

@@ -1,0 +1,283 @@
+"""Corpus-level curation operators for training-data pipelines.
+
+The dataset-shaping stages that sit between dedup (operators/dedup.py)
+and the training job: benchmark decontamination, PII redaction,
+repetition scoring, deterministic split assignment, sequence packing,
+top-k n-gram stats, and connected-components duplicate clustering.
+
+Reference analog: these extend the pipeline surface of
+kestra-io/plugin-singer the way its stream_maps / validation stages do
+(`targets/Oracle.java:111-118`, `targets/AdswerveBigQuery.java:53-59`) —
+per-record transforms and corpus-level QA — re-expressed as declarative
+Spark plans for a 100 TB corpus.
+
+Scale profiles:
+- decontaminate: eval n-gram set is tiny by construction (benchmarks are
+  thousands of docs, not billions) → broadcast semi-join, one corpus scan.
+- pii_redact / repetition_stats / hash_split / pack_sequences: pure
+  column expressions + one window — whole-stage codegen, no shuffle
+  except packing's per-group window.
+- top_ngrams: explode → partial-agg count → per-key top-k window over the
+  (small) aggregated table.
+- connected_components: alternating large-star/small-star (Kiveris et
+  al., "Connected Components in MapReduce and Beyond") — O(log n)
+  rounds of join+min-aggregate, never collects a neighborhood list, so a
+  hub node with 10^6 edges stays a groupBy key, not a driver array.
+
+Every operator except connected_components (iterative) has an exact
+DuckDB oracle in __spark_entry__.py; connected_components gets one too at
+test scale via a recursive-CTE transitive closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from plugin_singer_spark.operators.text import hash64, tokens, word_shingles
+
+# Regexes restricted to the syntax Java regex and RE2 (DuckDB) share —
+# no lookarounds, no backrefs — so the oracle can run the same pattern.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+LONG_DIGITS_RE = "[0-9]{7,}"
+
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity (word_shingles minus the distinct) —
+    the unit for repetition scoring and decontamination overlap."""
+    t = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with the eval set (GPT-3/Llama-style n-gram overlap filtering).
+
+    The eval n-gram set is exact-distinct and tiny relative to the corpus,
+    so the overlap check is one broadcast join against the exploded corpus
+    shingles — a single corpus scan, no shuffle of corpus rows. Returns
+    (id, n_hits, contaminated); docs with zero overlap keep n_hits = 0.
+    """
+    eval_grams = (
+        eval_docs.select(F.explode(word_shingles(text_col, n)).alias("gram")).distinct()
+    )
+    corpus_grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses and long digit runs; report match
+    counts per doc. Pure regexp expressions (codegen); order of the three
+    passes is fixed so the oracle replays it exactly."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    red1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(red1, F.lit(IPV4_RE), F.lit(0)))
+    red2 = F.regexp_replace(red1, IPV4_RE, "<IP>")
+    n_ids = F.size(F.regexp_extract_all(red2, F.lit(LONG_DIGITS_RE), F.lit(0)))
+    red3 = F.regexp_replace(red2, LONG_DIGITS_RE, "<ID>")
+    return df.select(
+        "*",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_ids.alias("n_ids"),
+        red3.alias("text_redacted"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Within-document repetition: duplicated-n-gram ratio (the Gopher
+    `dup_ngram_frac` family). 0 = every n-gram unique."""
+    g = ngrams(text_col, n)
+    n_total = F.size(g)
+    n_uniq = F.size(F.array_distinct(g))
+    ratio = F.when(n_total > 0, 1.0 - n_uniq / n_total).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        n_total.alias("n_ngrams"),
+        n_uniq.alias("n_uniq_ngrams"),
+        F.round(ratio, 6).alias("dup_ngram_ratio"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash64(key) % 1000 against
+    cumulative per-mille weights. Stable under re-runs, re-partitioning and
+    corpus growth (membership depends only on the key), which is what makes
+    it safe at 100 TB — no sampling state, no shuffle."""
+    weights = weights or {"train": 980, "val": 10, "test": 10}
+    bucket = F.pmod(hash64(F.col(key_col).cast("string")), F.lit(1000))
+    acc = 0
+    expr: Column | None = None
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.select("*", bucket.alias("split_bucket"), expr.alias("split"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    num_groups: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk context packing (GPT-pretraining style): docs are
+    routed to ``num_groups`` deterministic groups (hash of id), ordered by
+    id within the group, concatenated into one token stream per group, and
+    chunked into exact ``budget``-token sequences. A doc may span adjacent
+    sequences; its span is reported as ``seq_first..seq_last`` along with
+    its ``tok_offset`` in the group stream.
+
+    One cumulative-sum window per group — no Python loop. Groups are
+    independent, so the 100 TB corpus packs with num_groups-way parallelism
+    and no global coordination; every sequence except a group's last is
+    exactly ``budget`` tokens.
+    """
+    n_tok = F.size(tokens(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.pmod(hash64(F.col(id_col).cast("string")), F.lit(num_groups)).alias("grp"),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("grp").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return base.select(
+        "id",
+        "grp",
+        "n_tokens",
+        start.alias("tok_offset"),
+        # floor, not cast: DuckDB CAST(double AS BIGINT) rounds half-away
+        # while Spark truncates — floor() agrees on both engines
+        F.floor(start / budget).cast("bigint").alias("seq_first"),
+        F.when(F.col("n_tokens") > 0, F.floor((cum - 1) / budget))
+        .otherwise(F.floor(start / budget))
+        .cast("bigint")
+        .alias("seq_last"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most frequent word n-grams per group (corpus vocabulary
+    stats). Explode → count (partial agg map-side) → per-group top-k window
+    over the aggregated (small) table; ties broken lexicographically so the
+    result is deterministic."""
+    g = df.select(F.col(group_col).alias("grp"), F.explode(ngrams(text_col, n)).alias("gram"))
+    counts = g.groupBy("grp", "gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.partitionBy("grp").orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "gram", "n_occurrences", "rank")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Duplicate clustering: connected components over a near-dup pair
+    graph via alternating large-star / small-star (Kiveris et al. 2014).
+    Returns (id, cluster_id) for every node in ``pairs``, cluster_id = the
+    minimum node id reachable from it.
+
+    Each round is two join+groupBy-min passes over the edge list — no
+    neighborhood is ever collected into an array, so mega-clusters (the
+    boilerplate-text pathology of web corpora) stay distributed. Rounds
+    needed: O(log n); the loop stops as soon as the edge set is a fixed
+    point (every node points directly at its component minimum).
+    Iterative -> correctness is oracle-checked at test scale against a
+    recursive-CTE transitive closure in DuckDB.
+    """
+    e = (
+        pairs.select(F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # materialize the (possibly expensive) pair plan ONCE before deriving
+    # anything from it — the iteration and the node list both reuse it
+    e = e.localCheckpoint(eager=True)
+    nodes = e.select(F.col("u").alias("id")).union(e.select("v")).distinct()
+
+    def _sym(d: DataFrame) -> DataFrame:
+        return d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(d: DataFrame) -> DataFrame:
+        s = _sym(d)
+        m = s.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        return (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(d: DataFrame) -> DataFrame:
+        c = d.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        m = c.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            c.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixed point: identical edge set (both directions of the check,
+        # counts alone can alias)
+        if nxt.exceptAll(e).isEmpty() and e.exceptAll(nxt).isEmpty():
+            e = nxt
+            break
+        e = nxt
+
+    roots = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    return (
+        nodes.join(roots, "id", "left")
+        .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
+    )

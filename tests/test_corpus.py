@@ -1,0 +1,134 @@
+"""Corpus-curation operator tests (operators/corpus.py): decontamination,
+PII redaction, repetition, split assignment, packing, top-k n-grams, and
+connected-components dedup clustering."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from plugin_singer_spark.operators import corpus as cp
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=2, text="completely different content about spark engines"),
+        Row(doc_id=3, text="another unrelated document with unique words here"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    eval_docs = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    out = cp.decontaminate(corpus, eval_docs, "doc_id", "text", n=3).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[4].contaminated and by_id[4].n_hits == 7  # identical text: all 7 3-grams
+    assert by_id[1].contaminated  # shares "the quick brown" etc.
+    assert not by_id[2].contaminated and by_id[2].n_hits == 0
+    assert not by_id[3].contaminated
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="mail a@b.com and c.d@e.org ip 10.0.0.1 acct 123456789 end")]
+    )
+    r = cp.pii_redact(df, "text").collect()[0]
+    assert r.n_emails == 2 and r.n_ips == 1 and r.n_ids == 1
+    assert r.text_redacted == "mail <EMAIL> and <EMAIL> ip <IP> acct <ID> end"
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c a b c a b c"),  # 7 trigrams, 3 unique
+            Row(doc_id=1, text="one two three four five"),  # all unique
+        ]
+    )
+    out = {r.doc_id: r for r in cp.repetition_stats(df, "text", n=3).collect()}
+    assert out[0].n_ngrams == 7 and out[0].n_uniq_ngrams == 3
+    assert out[0].dup_ngram_ratio == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert out[1].dup_ngram_ratio == 0.0
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = cp.hash_split(df, "doc_id")
+    s2 = cp.hash_split(df.repartition(7), "doc_id")
+    a = {r.doc_id: r.split for r in s1.collect()}
+    b = {r.doc_id: r.split for r in s2.collect()}
+    assert a == b  # partitioning-independent
+    counts = {r.split: r.n for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1800  # ~98%
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(10))) for i in range(40)]
+    )
+    out = cp.pack_sequences(df, "doc_id", "text", budget=25, num_groups=2)
+    rows = sorted(out.collect(), key=lambda r: (r.grp, r.tok_offset))
+    assert all(r.n_tokens == 10 for r in rows)
+    for grp in {r.grp for r in rows}:
+        g = [r for r in rows if r.grp == grp]
+        # offsets form a contiguous token stream per group...
+        assert g[0].tok_offset == 0
+        for a, b in zip(g, g[1:]):
+            assert b.tok_offset == a.tok_offset + a.n_tokens
+        # ...and spans are exactly the chunk arithmetic
+        for r in g:
+            assert r.seq_first == r.tok_offset // 25
+            assert r.seq_last == (r.tok_offset + r.n_tokens - 1) // 25
+    # deterministic: same assignment on recompute under different partitioning
+    again = {(r.id, r.grp, r.seq_first, r.seq_last) for r in cp.pack_sequences(
+        df.repartition(7), "doc_id", "text", budget=25, num_groups=2).collect()}
+    assert {(r.id, r.grp, r.seq_first, r.seq_last) for r in rows} == again
+
+
+def test_pack_sequences_doc_spans_sequences(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=" ".join(f"w{j}" for j in range(25))),  # spans 3 chunks of 10
+            Row(doc_id=1, text="a b c"),
+        ]
+    )
+    out = {r.id: r for r in cp.pack_sequences(df, "doc_id", "text", budget=10, num_groups=1).collect()}
+    first, second = sorted(out.values(), key=lambda r: r.tok_offset)
+    assert first.seq_last - first.seq_first == (first.n_tokens - 1) // 10
+    # the following doc starts mid-chunk right where the stream left off
+    assert second.tok_offset == first.tok_offset + first.n_tokens
+    assert second.seq_first == second.tok_offset // 10
+
+
+def test_top_ngrams_ranks_and_ties(spark, docs):
+    out = cp.top_ngrams(docs.withColumn("lang", F.lit("en")), "lang", "text", n=2, k=3).collect()
+    assert len(out) == 3
+    assert out[0].rank == 1 if out[0].n_occurrences >= out[-1].n_occurrences else True
+    top = sorted(out, key=lambda r: r.rank)
+    assert top[0].n_occurrences >= top[1].n_occurrences >= top[2].n_occurrences
+    # "the quick" / "quick brown" etc. appear 3x (docs 0, 1, 4)
+    assert top[0].n_occurrences == 3
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, island 10-11, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [Row(id_a=2, id_b=1), Row(id_a=2, id_b=3), Row(id_a=4, id_b=3),
+         Row(id_a=10, id_b=11), Row(id_a=21, id_b=20)]
+    )
+    out = {r.id: r.cluster_id for r in cp.connected_components(pairs, "id_a", "id_b").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 64-node path graph needs the O(log n) star rounds, not 1-2 hops
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(64)])
+    out = cp.connected_components(pairs, "id_a", "id_b")
+    assert out.select(F.countDistinct("cluster_id")).collect()[0][0] == 1
+    assert out.filter(F.col("cluster_id") != 0).count() == 0 or (
+        out.agg(F.min("cluster_id")).collect()[0][0] == 0
+    )
+    assert out.count() == 65
