@@ -625,6 +625,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB clustering path: MinHash-LSH candidate pairs (bucketed,
+    never all-pairs) → connected components. Rows-only driver check — the
+    exact-pairs variant above is the hash-checked oracle; LSH recall vs
+    exact is asserted in pytest."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    cc = cp.connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "message_type_counts": q_message_type_counts,
@@ -668,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "top_ngrams": q_top_ngrams,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
     }
 
 

@@ -168,6 +168,8 @@ def main() -> None:
         "ann_ivf_topk",  # queries; exact variants stay pytest recall oracles
         "embedding_neardup_lsh",
         "exact_dedup",
+        "repetition_stats",
+        "dedup_clusters_lsh",
     ]
     qs = entry.queries()
     for name in breadth:

@@ -228,6 +228,7 @@ def connected_components(
     Iterative -> correctness is oracle-checked at test scale against a
     recursive-CTE transitive closure in DuckDB.
     """
+    spark = pairs.sparkSession
     e = (
         pairs.select(F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -236,6 +237,13 @@ def connected_components(
     # materialize the (possibly expensive) pair plan ONCE before deriving
     # anything from it — the iteration and the node list both reuse it
     e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    # right-size the iteration's shuffles: star rounds on a near-dup pair
+    # graph are usually tiny relative to the corpus (the loop would
+    # otherwise pay full-width task scheduling ~4 jobs x rounds); a huge
+    # edge set keeps full parallelism
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, int(n_edges // 250_000) + 1))
+    e = e.repartition(n_parts, "u").localCheckpoint(eager=True)
     nodes = e.select(F.col("u").alias("id")).union(e.select("v")).distinct()
 
     def _sym(d: DataFrame) -> DataFrame:
@@ -267,13 +275,17 @@ def connected_components(
         )
         return out
 
+    prev_count = n_edges
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # fixed point: identical edge set (both directions of the check,
-        # counts alone can alias)
-        if nxt.exceptAll(e).isEmpty() and e.exceptAll(nxt).isEmpty():
+        # fixed point: both sides are distinct sets, so equal size plus
+        # one-sided subset ⇒ equal — one count (cheap on the checkpointed
+        # RDD) + one anti-join probe instead of two full exceptAlls
+        nxt_count = nxt.count()
+        if nxt_count == prev_count and nxt.join(e, ["u", "v"], "left_anti").isEmpty():
             e = nxt
             break
+        prev_count = nxt_count
         e = nxt
 
     roots = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))

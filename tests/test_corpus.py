@@ -132,3 +132,22 @@ def test_connected_components_long_chain_converges(spark):
         out.agg(F.min("cluster_id")).collect()[0][0] == 0
     )
     assert out.count() == 65
+
+
+def test_dedup_clusters_lsh_agrees_with_exact(spark):
+    """The LSH-pair clustering path must reproduce (almost all of) the
+    exact-pair clustering: pairwise same-cluster decisions agree on >=90%
+    of the exact clustering's co-clustered pairs at test scale."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.doc_id: r.cluster_id for r in entry.q_dedup_clusters(spark, sf).collect()}
+    lsh = {r.doc_id: r.cluster_id for r in entry.q_dedup_clusters_lsh(spark, sf).collect()}
+    co_exact = {
+        (a, b)
+        for a in exact for b in exact
+        if a < b and exact[a] == exact[b]
+    }
+    agree = sum(1 for (a, b) in co_exact if lsh.get(a) is not None and lsh.get(a) == lsh.get(b))
+    assert co_exact, "exact clustering produced no co-clustered pairs — test data too sparse"
+    assert agree / len(co_exact) >= 0.9
