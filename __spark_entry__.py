@@ -635,6 +635,23 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (1h) per event_type — the batch form of
+    the streaming windowed aggregation (operators/windows.py; the same
+    plan runs under readStream+watermark, tested in tests/test_windows.py)."""
+    from plugin_singer_spark.operators.windows import tumbling_counts
+
+    return tumbling_counts(_t(spark, sf_dir, "events"), "ts", "1 hour", ["event_type"])
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-min gap) via F.session_window — oracle
+    is the gaps-and-islands SQL form (operators/windows.py:sessionize)."""
+    from plugin_singer_spark.operators.windows import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), "ts", "30 minutes", ["user_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "message_type_counts": q_message_type_counts,
@@ -679,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        "event_window_counts": q_event_window_counts,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -1042,6 +1061,30 @@ nodes AS (SELECT DISTINCT u AS id FROM edges)
 SELECT n.id AS doc_id, least(n.id, min(r.v)) AS cluster_id
 FROM nodes n JOIN reach r ON r.u = n.id
 GROUP BY n.id"""
+
+    d["event_window_counts"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2, 3"""
+
+    # session boundary: an event at exactly prev + gap still MERGES
+    # (Spark's session interval is closed at last+gap — verified in
+    # tests/test_windows.py), hence strictly-greater starts a new session
+    d["user_sessions"] = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_event_ts,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid"""
     return d
 
 
