@@ -14,7 +14,13 @@ def test_oracle_keys_subset():
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert set(os_).issubset(set(qs))
     # the non-oracle entries are exactly the documented probabilistic/Arrow ops
-    assert set(qs) - set(os_) == {"minhash_lsh_pairs", "ann_lsh_topk", "ann_ivf_topk", "embedding_neardup_lsh"}
+    assert set(qs) - set(os_) == {
+        "minhash_lsh_pairs",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "embedding_neardup_lsh",
+        "dedup_clusters_lsh",  # LSH candidate graph — exact-pair variant is the oracle
+    }
 
 
 def test_all_queries_execute(spark):
