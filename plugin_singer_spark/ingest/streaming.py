@@ -138,11 +138,17 @@ def replay_files(
     max_batches: int | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     archive_dir: str | None = None,
+    activate_fences: bool = True,
     **merge_kwargs: Any,
 ) -> ReplayStats:
     """Replay a staged binlog directory in FILE-granular micro-batches: one
     epoch reads only its own k files — zero re-scans of the full log (the
     ``maxFilesPerTrigger`` shape, without Structured Streaming's driver).
+
+    ``activate_fences`` (lean-jsonl path only): detect ACTIVATE_VERSION
+    resync fences with an extra substring-prefiltered scan per epoch
+    (messages.scan_activation_fence). Costs one additional sequential read
+    of the epoch's raw files; set False for streams that never resync.
 
     ``archive_dir`` retains each epoch's consumed raw files under
     ``<archive_dir>/epoch=<n>/`` (hardlink when possible, copy otherwise)
@@ -202,16 +208,14 @@ def replay_files(
             break
         _t0 = _time.time()
         chunk = chunks[epoch]
-        act_obs = None
+        lean_jsonl = False
         activations: list[int] = []
         if input_format == "parquet":
             ev = spark.read.parquet(*chunk)
         elif record_schema is not None:
-            # ACTIVATE_VERSION fences ride the same scan via Observation —
-            # the lean path used to drop them silently (ADVICE r2)
-            ev, act_obs = messages.parse_records_lean(
-                spark.read.text(chunk), stream, record_schema,
-                line_col="value", observe_activations=True,
+            lean_jsonl = True
+            ev = messages.parse_records_lean(
+                spark.read.text(chunk), stream, record_schema, line_col="value"
             )
         else:
             lines = spark.read.text(chunk)
@@ -263,11 +267,20 @@ def replay_files(
         stats.events += rep.record_count
         stats.batches += 1
         stats.reports.append(rep)
-        if act_obs is not None and rep.metrics.get("skipped_epoch") is None:
-            # the merge action materialized the observed parse node; a
-            # fenced-skip epoch never ran it (obs.get would block) but a
-            # skipped epoch's activation was applied on its first run
-            fence = act_obs.get.get("activate_fence")
+        if (
+            lean_jsonl
+            and activate_fences
+            and rep.metrics.get("skipped_epoch") is None
+        ):
+            # the lean parse drops non-RECORD rows before the merge, so
+            # resync fences need their own pass (ADVICE r2) — a cheap
+            # substring-prefiltered scan, NOT an Observation on the shared
+            # parse node (CollectMetrics there blocks pruning for the
+            # merge's auxiliary passes: measured 3× epoch cost). A
+            # fenced-skip epoch applied its activation on its first run.
+            fence = messages.scan_activation_fence(
+                spark.read.text(chunk), stream, line_col="value"
+            )
             if fence is not None:
                 activations.append(int(fence))
         if activations:
@@ -391,14 +404,13 @@ def stream_binlog(
         # and Spark's checkpoint already delivers each file exactly once.
         # LWW merge makes any cross-batch ordering converge; the epoch fence
         # alone guards replays.
-        act_obs = None
+        raw_lines = None
         if input_format == "jsonl":
             from plugin_singer_spark import messages
 
-            # fence detection rides the record parse (Observation) — the
-            # streaming lean path used to drop ACTIVATE_VERSION (ADVICE r2)
-            batch_df, act_obs = messages.parse_records_lean(
-                batch_df, stream, record_schema, line_col="value", observe_activations=True
+            raw_lines = batch_df
+            batch_df = messages.parse_records_lean(
+                batch_df, stream, record_schema, line_col="value"
             )
         if transform is not None:
             batch_df = transform(batch_df)
@@ -410,8 +422,14 @@ def stream_binlog(
             checkpoint_id=checkpoint_id,
             **merge_kwargs,
         )
-        if act_obs is not None and rep.metrics.get("skipped_epoch") is None:
-            fence_v = act_obs.get.get("activate_fence")
+        if raw_lines is not None and rep.metrics.get("skipped_epoch") is None:
+            # resync-fence detection: separate substring-prefiltered pass
+            # over the micro-batch, not an Observation on the shared parse
+            # (CollectMetrics there blocks pruning for the merge's
+            # auxiliary passes — see messages.parse_records_lean)
+            from plugin_singer_spark import messages
+
+            fence_v = messages.scan_activation_fence(raw_lines, stream, line_col="value")
             if fence_v is not None:
                 from plugin_singer_spark.lake.merge import activate_version
 

@@ -122,48 +122,65 @@ def parse_records_lean(
     stream: str,
     struct: T.StructType,
     line_col: str = "value",
-    observe_activations: bool = False,
-):
+) -> DataFrame:
     """Typed RECORD rows for one stream straight from raw JSONL — the replay
     hot path. Same two-step shape as :func:`parse_lines` +
     :func:`records_for_stream` (json_tuple envelope, flat from_json record —
     measured faster than one nested from_json over the whole line), but the
-    json_tuple extracts only the fields the replay needs instead of the full
-    7-column envelope (~15% parse-stage win). Use the full parse when
-    SCHEMA/STATE handling or ``time_extracted`` is needed.
+    json_tuple extracts only the four fields the replay needs
+    (type/stream/seq/record) instead of the full 7-column envelope
+    (~15% parse-stage win). Use the full parse when SCHEMA/STATE handling or
+    ``time_extracted`` is needed.
 
-    ``observe_activations=True`` returns ``(df, Observation)``: the
-    observation computes ``activate_fence`` = max ACTIVATE_VERSION fence for
-    the stream in this batch, riding the SAME scan as the record parse (no
-    second pass over the text — the full-resync fence used to be silently
-    dropped on the lean paths, ADVICE r2). Read ``obs.get`` only AFTER an
-    action consumed the returned DataFrame."""
-    fields = ["type", "stream", "seq", "record"] + (["version"] if observe_activations else [])
+    Deliberately carries NO Observation: a CollectMetrics node on this
+    shared parse blocks column pruning through the json_tuple Generate, so
+    every auxiliary pass the merge makes (bucket probe, stats) re-parses
+    full records — measured 3× epoch cost at sf0.1. ACTIVATE_VERSION
+    fences are detected by :func:`scan_activation_fence` instead (separate
+    substring-prefiltered scan, ~0.5 s/epoch warm)."""
     p = lines.select(
-        F.json_tuple(F.col(line_col), *fields).alias(
-            *(["type", "stream", "_seq", "record"] + (["_version"] if observe_activations else []))
+        F.json_tuple(F.col(line_col), "type", "stream", "seq", "record").alias(
+            "type", "stream", "_seq", "record"
         )
     )
-    obs = None
-    if observe_activations:
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        p = p.observe(
-            obs,
-            F.max(
-                F.when(
-                    (F.upper(F.col("type")) == "ACTIVATE_VERSION") & (F.col("stream") == stream),
-                    F.coalesce(F.col("_version").cast("long"), F.col("_seq").cast("long")),
-                )
-            ).alias("activate_fence"),
-        )
-    out = (
+    return (
         p.filter((F.upper(F.col("type")) == RECORD) & (F.col("stream") == stream))
         .select(F.col("_seq").cast("long").alias("seq"), F.from_json("record", struct).alias("r"))
         .select("seq", "r.*")
     )
-    return (out, obs) if observe_activations else out
+
+
+def scan_activation_fence(
+    lines: DataFrame,
+    stream: str,
+    line_col: str = "value",
+) -> int | None:
+    """Max ACTIVATE_VERSION fence for ``stream`` in a raw JSONL batch, or
+    None. The lean replay path drops non-RECORD rows before the merge, so
+    full-resync fences need their own detection (ADVICE r2) — this is a
+    SEPARATE pass over the text, but a cheap one: a substring prefilter
+    rejects ~all lines before any JSON parse (pure sequential scan, no
+    shuffle; measured ~0.5 s per 8-file epoch at sf0.1 vs ~9 s/epoch for
+    the rejected design that hung an Observation on the shared parse node).
+    At cluster scale this doubles raw input IO per epoch; CDC taps emit
+    ACTIVATE_VERSION only at resync boundaries, so deployments that never
+    resync can skip the scan (``activate_fences=False`` in replay_files)."""
+    row = (
+        lines.filter(F.col(line_col).contains('"ACTIVATE_VERSION"'))
+        .select(
+            F.json_tuple(F.col(line_col), "type", "stream", "version", "seq").alias(
+                "type", "stream", "_version", "_seq"
+            )
+        )
+        .filter((F.upper(F.col("type")) == "ACTIVATE_VERSION") & (F.col("stream") == stream))
+        .agg(
+            F.max(
+                F.coalesce(F.col("_version").cast("long"), F.col("_seq").cast("long"))
+            ).alias("fence")
+        )
+        .collect()[0]
+    )
+    return int(row["fence"]) if row["fence"] is not None else None
 
 
 def collect_states(env: DataFrame) -> list[tuple[int, dict[str, Any]]]:
