@@ -635,6 +635,27 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (domain mixing): membership is a
+    pure hash threshold per group — stable under re-runs and corpus growth,
+    no shuffle (operators/corpus.py:stratified_sample)."""
+    s = cp.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "fr": 0.25, "zh": 1.0},
+        group_col="lang",
+        key_col="doc_id",
+        default_rate=0.1,
+    )
+    return s.select("doc_id", "lang")
+
+
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 documents by composite quality score — the
+    selection stage of a quality-pruned training mix; one window shuffle
+    (operators/corpus.py:quality_topk)."""
+    return cp.quality_topk(_t(spark, sf_dir, "documents"), k=10, group_col="lang")
+
+
 def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (1h) per event_type — the batch form of
     the streaming windowed aggregation (operators/windows.py; the same
@@ -698,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "event_window_counts": q_event_window_counts,
         "user_sessions": q_user_sessions,
+        "stratified_sample": q_stratified_sample,
+        "quality_topk": q_quality_topk,
     }
 
 
@@ -1085,6 +1108,42 @@ s AS (SELECT user_id, ts,
 SELECT user_id, min(ts) AS session_start, max(ts) AS last_event_ts,
        count(*) AS n_events
 FROM s GROUP BY user_id, sid"""
+
+    # hash64('smp:'+key) % 10000 < per-group permyriad threshold — the
+    # same md5 idiom as dataset_split, distinct salt prefix
+    smp_bucket = HASH64_SQL.format(x="concat('smp:', CAST(doc_id AS VARCHAR))")
+    d["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {smp_bucket} % 10000 <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 10000
+                ELSE 1000 END"""
+
+    # rank on the UNROUNDED score (matches Spark's window ordering); both
+    # engines order the same component-sum lattice identically
+    d["quality_topk"] = f"""
+WITH {tokens_cte},
+feat AS (
+  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains({STOP_SQL}, x))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) * 1.0 / len(toks)
+              ELSE 0.0 END AS uniq_ratio
+  FROM tok),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+         (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN uniq_ratio >= 0.3 THEN 0.3 ELSE 0.0 END) AS q
+  FROM feat),
+r AS (
+  SELECT lang, doc_id, round(q, 2) AS quality_score, n_tokens,
+         CAST(row_number() OVER (
+             PARTITION BY lang ORDER BY q DESC, n_tokens DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM scored)
+SELECT lang, doc_id, quality_score, n_tokens, rank FROM r WHERE rank <= 10"""
     return d
 
 

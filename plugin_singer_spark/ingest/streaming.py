@@ -208,15 +208,17 @@ def replay_files(
             break
         _t0 = _time.time()
         chunk = chunks[epoch]
-        lean_jsonl = False
+        fence_obs = None
         activations: list[int] = []
         if input_format == "parquet":
             ev = spark.read.parquet(*chunk)
         elif record_schema is not None:
-            lean_jsonl = True
-            ev = messages.parse_records_lean(
-                spark.read.text(chunk), stream, record_schema, line_col="value"
-            )
+            lines = spark.read.text(chunk)
+            if activate_fences:
+                # near-free resync detection riding the scan (flag only);
+                # the full fence pass runs only when the flag fires
+                lines, fence_obs = messages.observe_fence_flag(lines, line_col="value")
+            ev = messages.parse_records_lean(lines, stream, record_schema, line_col="value")
         else:
             lines = spark.read.text(chunk)
             env = messages.parse_lines(lines, line_col="value", seq_from_envelope=True)
@@ -267,22 +269,21 @@ def replay_files(
         stats.events += rep.record_count
         stats.batches += 1
         stats.reports.append(rep)
-        if (
-            lean_jsonl
-            and activate_fences
-            and rep.metrics.get("skipped_epoch") is None
-        ):
+        if fence_obs is not None and rep.metrics.get("skipped_epoch") is None:
             # the lean parse drops non-RECORD rows before the merge, so
-            # resync fences need their own pass (ADVICE r2) — a cheap
-            # substring-prefiltered scan, NOT an Observation on the shared
-            # parse node (CollectMetrics there blocks pruning for the
-            # merge's auxiliary passes: measured 3× epoch cost). A
-            # fenced-skip epoch applied its activation on its first run.
-            fence = messages.scan_activation_fence(
-                spark.read.text(chunk), stream, line_col="value"
-            )
-            if fence is not None:
-                activations.append(int(fence))
+            # resync fences need their own detection (ADVICE r2). The flag
+            # observation rode the merge's scan (a fenced-skip epoch never
+            # ran it — obs.get would block — but its activation was applied
+            # on the first run); only a flagged epoch pays the real fence
+            # pass. NOT an Observation on the parsed node: CollectMetrics
+            # there blocks pruning for the merge's auxiliary passes
+            # (measured 3× epoch cost).
+            if fence_obs.get.get("has_fence") is not None:
+                fence = messages.scan_activation_fence(
+                    spark.read.text(chunk), stream, line_col="value"
+                )
+                if fence is not None:
+                    activations.append(int(fence))
         if activations:
             # ACTIVATE_VERSION in this epoch: rows older than the (last)
             # activation point were not re-sent by the resync — drop them
@@ -404,13 +405,18 @@ def stream_binlog(
         # and Spark's checkpoint already delivers each file exactly once.
         # LWW merge makes any cross-batch ordering converge; the epoch fence
         # alone guards replays.
-        raw_lines = None
+        raw_lines, fence_obs = None, None
         if input_format == "jsonl":
             from plugin_singer_spark import messages
 
+            # flag observation rides the scan (below json_tuple, so it
+            # cannot block the parse's column pruning — see
+            # messages.observe_fence_flag); a flagged batch pays one extra
+            # prefiltered pass for the fence value
             raw_lines = batch_df
+            flagged, fence_obs = messages.observe_fence_flag(batch_df, line_col="value")
             batch_df = messages.parse_records_lean(
-                batch_df, stream, record_schema, line_col="value"
+                flagged, stream, record_schema, line_col="value"
             )
         if transform is not None:
             batch_df = transform(batch_df)
@@ -422,11 +428,11 @@ def stream_binlog(
             checkpoint_id=checkpoint_id,
             **merge_kwargs,
         )
-        if raw_lines is not None and rep.metrics.get("skipped_epoch") is None:
-            # resync-fence detection: separate substring-prefiltered pass
-            # over the micro-batch, not an Observation on the shared parse
-            # (CollectMetrics there blocks pruning for the merge's
-            # auxiliary passes — see messages.parse_records_lean)
+        if (
+            fence_obs is not None
+            and rep.metrics.get("skipped_epoch") is None
+            and fence_obs.get.get("has_fence") is not None
+        ):
             from plugin_singer_spark import messages
 
             fence_v = messages.scan_activation_fence(raw_lines, stream, line_col="value")

@@ -150,6 +150,32 @@ def parse_records_lean(
     )
 
 
+def observe_fence_flag(lines: DataFrame, line_col: str = "value"):
+    """Attach a near-free ACTIVATE_VERSION detector to a raw-lines scan:
+    returns ``(lines', Observation)`` where the observation's
+    ``has_fence`` is non-null iff any line contains the substring.
+
+    The CollectMetrics node sits BELOW the downstream ``json_tuple``
+    Generate, so it cannot block the Generate's column pruning (hanging
+    the observation on the parsed node did, and cost 3× per epoch — see
+    :func:`parse_records_lean`). The per-line cost is one substring
+    search fused into the scan. Read ``obs.get`` only after an action
+    consumed a plan built over the returned DataFrame; when the flag
+    fires, run :func:`scan_activation_fence` for the actual fence value
+    (the rare resync case pays the second pass, the common case pays
+    nothing)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    flagged = lines.observe(
+        obs,
+        F.max(
+            F.when(F.col(line_col).contains('"ACTIVATE_VERSION"'), F.lit(1))
+        ).alias("has_fence"),
+    )
+    return flagged, obs
+
+
 def scan_activation_fence(
     lines: DataFrame,
     stream: str,

@@ -293,3 +293,63 @@ def connected_components(
         nodes.join(roots, "id", "left")
         .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group sampling — the domain-mixing primitive
+    (per-source/per-language rates when assembling a training mix).
+
+    Membership = ``hash64('smp:' + key) % 10000 < rate_permyriad[group]``:
+    stable under re-runs, re-partitioning and corpus growth (the same
+    guarantee as :func:`hash_split`, with a distinct salt prefix so sample
+    membership is independent of split assignment). Pure codegen filter —
+    no shuffle, no sampling state, prunes at the scan when ``rates`` zeroes
+    a group out. Rates are rounded to 1/10000 granularity."""
+    bucket = F.pmod(hash64(F.concat(F.lit("smp:"), F.col(key_col).cast("string"))), F.lit(10000))
+    thr: Column | None = None
+    for name, r in rates.items():
+        cut = F.lit(int(round(r * 10000)))
+        cond = F.col(group_col) == name
+        thr = F.when(cond, cut) if thr is None else thr.when(cond, cut)
+    thr = thr.otherwise(F.lit(int(round(default_rate * 10000)))) if thr is not None else F.lit(
+        int(round(default_rate * 10000))
+    )
+    return df.filter(bucket < thr)
+
+
+def quality_topk(
+    df: DataFrame,
+    k: int = 10,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group top-k documents by the composite quality score
+    (operators/text.py:quality_features) — the selection stage of a
+    quality-pruned training mix. One window over the scored table; ties
+    broken by token count then id so the result is deterministic. At scale
+    the per-group rank is one shuffle on ``group_col``; a skewed group is
+    bounded by k via the rank filter (no per-group materialization)."""
+    from plugin_singer_spark.operators.text import quality_features
+
+    scored = quality_features(df, text_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality_score").desc(), F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            F.round("quality_score", 2).alias("quality_score"),
+            "n_tokens",
+            "rank",
+        )
+    )

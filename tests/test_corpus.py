@@ -151,3 +151,51 @@ def test_dedup_clusters_lsh_agrees_with_exact(spark):
     agree = sum(1 for (a, b) in co_exact if lsh.get(a) is not None and lsh.get(a) == lsh.get(b))
     assert co_exact, "exact clustering produced no co-clustered pairs — test data too sparse"
     assert agree / len(co_exact) >= 0.9
+
+
+def test_stratified_sample_deterministic_membership(spark):
+    """Per-group hash-threshold sampling: rate 1.0 keeps everything, 0.0
+    drops everything, membership is identical across calls and independent
+    of partitioning, and observed rates track the requested ones."""
+    from plugin_singer_spark.operators import corpus as cp
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)], ["doc_id", "lang"]
+    )
+    s = cp.stratified_sample(df, {"en": 1.0, "fr": 0.0}, key_col="doc_id")
+    got = {r.lang for r in s.collect()}
+    assert got == {"en"} and s.count() == 1000
+
+    half = cp.stratified_sample(df, {"en": 0.5}, key_col="doc_id", default_rate=0.25)
+    a = {r.doc_id for r in half.collect()}
+    b = {r.doc_id for r in cp.stratified_sample(df.repartition(7), {"en": 0.5}, key_col="doc_id", default_rate=0.25).collect()}
+    assert a == b  # stable under repartition
+    n_en = sum(1 for i in a if i % 2 == 0)
+    n_fr = len(a) - n_en
+    assert abs(n_en / 1000 - 0.5) < 0.08
+    assert abs(n_fr / 1000 - 0.25) < 0.08
+
+
+def test_quality_topk_rank_and_bound(spark):
+    from plugin_singer_spark.operators import corpus as cp
+
+    rows = []
+    for i in range(30):
+        # longer docs with stopwords score higher; short ones score 0.3-ish
+        good = "the quick brown fox jumps over a lazy dog near the river bank " * 3
+        rows.append((i, "en" if i < 20 else "de", good if i % 3 == 0 else "tiny text"))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = cp.quality_topk(df, k=5, group_col="lang").collect()
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r.lang, []).append(r)
+    for lang, rs in per_group.items():
+        assert len(rs) <= 5
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # scores are non-increasing in rank order
+        by_rank = sorted(rs, key=lambda r: r.rank)
+        assert all(
+            by_rank[i].quality_score >= by_rank[i + 1].quality_score
+            for i in range(len(by_rank) - 1)
+        )
