@@ -98,7 +98,16 @@ def main() -> None:
         [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
     )
     record_schema = T.StructType(list(schema.fields) + [T.StructField("op", T.StringType())])
-    root = tempfile.mkdtemp(prefix="bench_table_", dir=os.environ.get("BENCH_TABLE_DIR"))
+    # table staged on tmpfs by default, for the same reason the binlog is:
+    # the sandbox's single ~460 MB/s virtual disk is a fixed IO floor that
+    # no core count scales past (it alone caps compaction scaling at ~0.5),
+    # while the real deployment writes to distributed storage whose
+    # aggregate bandwidth scales with the cluster. BENCH_TABLE_DIR=/tmp
+    # opts back into disk-backed staging; the table is removed on exit.
+    table_stage = os.environ.get("BENCH_TABLE_DIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    root = tempfile.mkdtemp(prefix="bench_table_", dir=table_stage)
     table = LakeTable.create(spark, os.path.join(root, "repos"), schema, ["repo", "path"], num_buckets=num_buckets)
 
     files_per_batch = max(1, 64 * batch_events // max(events, 1))
