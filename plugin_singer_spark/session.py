@@ -64,6 +64,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # long-running-driver hygiene: ContextCleaner only frees shuffle
+        # files / broadcast state when the driver JVM GCs, and its fallback
+        # System.gc() defaults to every 30 MINUTES — a multi-epoch CDC
+        # replay accumulates dozens of epochs of shuffle state before that
+        # ever fires, and the un-freed state degrades late compactions
+        # (measured on the 32-epoch endurance run: 4th compaction 58-67 s
+        # at 8 g heap vs 14.8 s with a 1-min cleaner interval; steady
+        # epochs flat either way)
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

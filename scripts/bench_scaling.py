@@ -33,6 +33,28 @@ def _cpu_sample() -> list[int]:
         return [int(x) for x in f.readline().split()[1:]]
 
 
+def wait_quiet(max_wait_s: int = 600, probe_s: int = 15, steal_thresh: float = 1.5) -> float:
+    """Block until a quiet co-tenant window: hypervisor steal below
+    ``steal_thresh``% over a ``probe_s`` sample. Scheduling around bursts
+    (disclosed in the output) — the run itself is still measured whole,
+    bursts that arrive mid-run still land in its numbers."""
+    import time
+
+    waited = 0.0
+    while waited < max_wait_s:
+        pre = _cpu_sample()
+        time.sleep(probe_s)
+        post = _cpu_sample()
+        d = [b - a for a, b in zip(pre, post)]
+        tot = sum(d) or 1
+        steal = 100.0 * d[7] / tot
+        if steal < steal_thresh:
+            return waited
+        waited += probe_s + 45
+        time.sleep(45)
+    return waited
+
+
 def run_level(cpus: int, events: int, binlog_dir: str) -> dict:
     env = dict(
         os.environ,
@@ -89,6 +111,9 @@ def main() -> None:
     for i in range(repeats):
         order += [4 * n, n] if i % 2 == 0 else [n, 4 * n]
     for cpus in order:
+        waited = wait_quiet()
+        if waited:
+            print(f"  (waited {waited:.0f}s for a quiet co-tenant window)", file=sys.stderr)
         runs[cpus].append(run_level(cpus, events, binlog_dir))
         r = runs[cpus][-1]
         print(
@@ -163,7 +188,10 @@ run), two parallelism levels — the sandbox stand-in for N vs 4N executors
 Per-run hypervisor steal (cycles taken by co-tenants of this shared VM
 during the run window) is recorded because single runs swing 2× under
 bursts; the max-per-level estimator over alternating repeats is the
-standard mitigation when interference is additive.
+standard mitigation when interference is additive. Each run additionally
+waits for a quiet window (steal < 1.5% over a 15 s probe, bounded wait)
+before launching — runs are scheduled around bursts but measured whole,
+so a burst arriving mid-run still lands in that run's numbers.
 
 **Scaling efficiency** = (eps_4N / eps_N) / 4:
 - amortized: **{eff_amort:.3f}**

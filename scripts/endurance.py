@@ -61,7 +61,17 @@ def main() -> None:
         [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
     )
     record_schema = T.StructType(list(schema.fields) + [T.StructField("op", T.StringType())])
-    root = tempfile.mkdtemp(prefix="endurance_table_")
+    # table staged per BENCH_TABLE_DIR (default tmpfs, same argument as
+    # bench.py): a 32-epoch run leaves ~20 GB of retained snapshots behind;
+    # on the sandbox's single disk the kernel's dirty-page writeback of
+    # that backlog collides with the later compactions (measured: the 4th
+    # compaction 58 s disk-backed vs ~12 s without the backlog) — an IO
+    # artifact of the shared disk, not engine drift (steady epochs stay
+    # flat either way). Real deployments write to distributed storage.
+    table_stage = os.environ.get("BENCH_TABLE_DIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    root = tempfile.mkdtemp(prefix="endurance_table_", dir=table_stage)
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], num_buckets=64
     )
@@ -94,6 +104,21 @@ def main() -> None:
     eps_first = sum(ev_per_epoch[:half]) / sum(stats.epoch_secs[:half])
     eps_second = sum(ev_per_epoch[half:]) / sum(stats.epoch_secs[half:])
 
+    # burst-robust drift metric on this shared VM: per-half MEDIAN of the
+    # STEADY epochs only (compaction epochs are listed separately in
+    # epoch_secs — their cost is bounded by the fixed 8-deltas/bucket fold,
+    # not by run age). A co-tenant burst landing in one half skews the
+    # mean-based halves 2×; the median ignores it, so steady_half_ratio is
+    # the drift signal and half_ratio the raw throughput split.
+    import statistics as _st
+
+    steady = [
+        (i, s) for i, s in enumerate(stats.epoch_secs)
+        if (i + 1) % compact_every != 0
+    ]
+    med_first = _st.median(s for i, s in steady if i < half)
+    med_second = _st.median(s for i, s in steady if i >= half)
+
     meta = os.path.join(root, "repos", "_meta")
     manifest_bytes = {
         os.path.basename(p): os.path.getsize(p)
@@ -111,6 +136,9 @@ def main() -> None:
         "eps_first_half": round(eps_first, 1),
         "eps_second_half": round(eps_second, 1),
         "half_ratio": round(eps_second / eps_first, 3),
+        "steady_epoch_median_first_half": round(med_first, 3),
+        "steady_epoch_median_second_half": round(med_second, 3),
+        "steady_half_ratio": round(med_second / med_first, 3),
         "epoch_secs": stats.epoch_secs,
         "final_compact_sec": stats.final_compact_sec,
         "manifest_bytes": {"min": min(sizes), "max": max(sizes), "mean": round(sum(sizes) / len(sizes)), "last": sizes[-1], "n": len(sizes)},
