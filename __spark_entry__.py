@@ -656,6 +656,27 @@ def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.quality_topk(_t(spark, sf_dir, "documents"), k=10, group_col="lang")
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf, sklearn convention) —
+    keyword extraction over the corpus; explode → partial-agg tf →
+    vocabulary-sized df join → per-doc window (operators/text.py)."""
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval for a fixed bag-of-words query — the exact
+    counterpart of the embedding ANN path; one corpus scan + two scalar
+    aggregates, global top-k via TakeOrderedAndProject
+    (operators/text.py:bm25_topk)."""
+    return tx.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["window", "merge", "stream"],
+        "doc_id",
+        "text",
+        k=20,
+    )
+
+
 def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (1h) per event_type — the batch form of
     the streaming windowed aggregation (operators/windows.py; the same
@@ -721,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "stratified_sample": q_stratified_sample,
         "quality_topk": q_quality_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1144,6 +1167,57 @@ r AS (
          ) AS INT) AS rank
   FROM scored)
 SELECT lang, doc_id, quality_score, n_tokens, rank FROM r WHERE rank <= 10"""
+
+    # smoothed idf (sklearn convention); rank on the ROUNDED score with a
+    # term tie-break, matching the Spark window exactly
+    d["tfidf_top_terms"] = f"""
+WITH {tokens_cte},
+terms AS (SELECT doc_id AS id, unnest(toks) AS term FROM tok),
+tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+r AS (
+  SELECT id, term, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored)
+SELECT id AS doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, rank
+FROM r WHERE rank <= 5"""
+
+    # BM25 with Robertson-Sparck-Jones idf; N/df/avgdl are exact scalars in
+    # both engines (integer sums divided once), score rounded to 6
+    d["bm25_search"] = f"""
+WITH {tokens_cte},
+dl AS (SELECT doc_id AS id, toks, len(toks) AS dl FROM tok),
+g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+pt AS (
+  SELECT id, dl,
+         len(list_filter(toks, x -> x = 'window')) AS tf0,
+         len(list_filter(toks, x -> x = 'merge'))  AS tf1,
+         len(list_filter(toks, x -> x = 'stream')) AS tf2
+  FROM dl),
+dfs AS (
+  SELECT sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM pt),
+scored AS (
+  SELECT id,
+         round(
+           ln(1.0 + (g.n - dfs.df0 + 0.5) / (dfs.df0 + 0.5))
+             * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / g.avgdl))
+           + ln(1.0 + (g.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5))
+             * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / g.avgdl))
+           + ln(1.0 + (g.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5))
+             * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / g.avgdl)), 6) AS bm25
+  FROM pt CROSS JOIN g CROSS JOIN dfs)
+SELECT id AS doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, id ASC) AS INT) AS rank
+FROM scored WHERE bm25 > 0
+ORDER BY rank LIMIT 20"""
     return d
 
 

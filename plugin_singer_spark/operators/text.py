@@ -15,6 +15,8 @@ oracle is not needed.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Small fixed stopword list — shared constant with the SQL oracles.
@@ -129,6 +131,101 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     conf = F.round(F.least(F.lit(1.0), stop_ratio * 2 + ascii_ratio * 0.5), 4)
     return df.select("*", pred.alias("lang_pred"), conf.alias("lang_conf"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — keyword extraction / doc
+    summarization for corpus QA. ``score = tf * (ln((N+1)/(df+1)) + 1)``
+    (smoothed idf, sklearn convention).
+
+    Plan shape at 100 TB: explode → per-(doc, term) count (partial agg
+    map-side) → term df (one agg over the term-counts table, NOT another
+    corpus scan) → broadcast-size scalar N → per-doc top-k window. The
+    per-term df table is vocabulary-sized (≪ corpus); the window
+    partitions by doc so no single task sees more than one doc's terms."""
+    from pyspark.sql.window import Window
+
+    terms = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").select(
+        "id", "term", "tf", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "tfidf", "rank")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 — the lexical
+    retrieval twin of the embedding ANN path (operators/similarity.py).
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len/avglen))`` with
+    the Robertson-Sparck-Jones idf ``ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Scale: the query term set is tiny → the per-term df lookup and the
+    per-doc score reduce to one corpus scan with a vocabulary-sized
+    semi-join (broadcast); global N and avg doc length are two scalars.
+    Deterministic ties (score desc, id asc) so results are reproducible."""
+    from pyspark.sql.window import Window
+
+    qset = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).select("id", "toks", F.size("toks").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"] or 0.0)
+
+    # per-doc tf for query terms only (array filter — no explode shuffle).
+    # NB: a two-arg lambda would make Spark bind the second param to the
+    # ELEMENT INDEX, so the term must be captured via a closure factory.
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("toks"), _eq(t))).alias(f"tf_{i}") for i, t in enumerate(qset)
+    ]
+    per_doc = toks.select("id", "dl", *tf_cols)
+    # per-term document frequency: one aggregate over the same table
+    dfreqs = per_doc.agg(
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}") for i in range(len(qset))]
+    ).collect()[0]
+    score = F.lit(0.0)
+    for i in range(len(qset)):
+        dfi = float(dfreqs[f"df_{i}"] or 0)
+        idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+        tf = F.col(f"tf_{i}").cast("double")
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl or 1.0))
+        score = score + F.lit(idf) * tf * (k1 + 1.0) / denom
+    scored = per_doc.select("id", F.round(score, 6).alias("bm25")).filter(F.col("bm25") > 0)
+    # global top-k via TakeOrderedAndProject (orderBy+limit — per-partition
+    # top-k then a k-row driver merge, never a 1-partition global sort);
+    # ranks are assigned over the k-row result only
+    topk = scored.orderBy(F.col("bm25").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "bm25", "rank"
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
