@@ -86,8 +86,13 @@ def main() -> None:
     )
     # materialize the raw JSONL tap artifact once; the replay measures the
     # engine (parse + merge), not the generator. BENCH_BINLOG_DIR shares the
-    # artifact across runs/levels so every level replays byte-identical input.
-    blog_dir = os.environ.get("BENCH_BINLOG_DIR") or tempfile.mkdtemp(prefix="bench_binlog_")
+    # artifact across runs/levels so every level replays byte-identical
+    # input. Default staging is tmpfs (same distributed-storage stand-in
+    # argument as the table — see table_stage below); removed on exit
+    # unless BENCH_BINLOG_DIR pinned it.
+    blog_dir = os.environ.get("BENCH_BINLOG_DIR") or tempfile.mkdtemp(
+        prefix="bench_binlog_", dir=("/dev/shm" if os.path.isdir("/dev/shm") else None)
+    )
     jsonl_dir = os.path.join(blog_dir, "jsonl")
     t0 = time.time()
     if not os.path.exists(os.path.join(jsonl_dir, "_SUCCESS")):
@@ -179,6 +184,10 @@ def main() -> None:
         "exact_dedup",
         "repetition_stats",
         "dedup_clusters_lsh",
+        "event_window_counts",
+        "user_sessions",
+        "quality_topk",
+        "bm25_search",
     ]
     qs = entry.queries()
     for name in breadth:
