@@ -108,3 +108,27 @@ def test_mor_read_column_pruning(spark, tmp_path):
     # values identical to the unpruned read
     full = sorted(map(tuple, t.read().select("repo", "path").collect()))
     assert sorted(map(tuple, pruned.collect())) == full
+
+
+def test_retrieval_query_plan_shapes(spark):
+    """Lock the physical shapes of the retrieval/curation queries:
+    bm25 = one scan + TakeOrderedAndProject, NO shuffle; stratified
+    sampling = pure scan filter, NO shuffle; tfidf joins its
+    vocabulary-sized df table by BROADCAST, not sort-merge; quality_topk
+    pays exactly one exchange (the per-group window)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = plan_of(e.queries()["bm25_search"](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    plan = plan_of(e.queries()["stratified_sample"](spark, sf))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    plan = plan_of(e.queries()["tfidf_top_terms"](spark, sf))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    plan = plan_of(e.queries()["quality_topk"](spark, sf))
+    assert plan.count("Exchange") == 1 and "BatchEvalPython" not in plan
