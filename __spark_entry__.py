@@ -1032,11 +1032,15 @@ WHERE d.doc_id % 97 <> 0"""
         "SELECT doc_id, n_emails, n_ips, n_ids, sha256(t) AS redacted_sha256 FROM r3"
     )
 
+    # zero-token docs produce an EMPTY gram list (matching operators/corpus.py
+    # ngrams' guard — ADVICE r3), not one '' gram
     d["repetition_stats"] = f"""
 WITH {tokens_cte},
 g AS (SELECT doc_id,
-             [array_to_string(toks[i+1:i+3], ' ')
-              FOR i IN range(0, greatest(len(toks) - 3, 0) + 1)] AS grams
+             CASE WHEN len(toks) > 0
+                  THEN [array_to_string(toks[i+1:i+3], ' ')
+                        FOR i IN range(0, greatest(len(toks) - 3, 0) + 1)]
+                  ELSE [] END AS grams
       FROM tok)
 SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams,
        CAST(len(list_distinct(grams)) AS INT) AS n_uniq_ngrams,
@@ -1077,7 +1081,7 @@ WITH {tokens_cte},
 g AS (
   SELECT lang, unnest([array_to_string(toks[i+1:i+2], ' ')
                        FOR i IN range(0, greatest(len(toks) - 2, 0) + 1)]) AS gram
-  FROM tok),
+  FROM tok WHERE len(toks) > 0),
 counts AS (SELECT lang, gram, count(*) AS n_occurrences FROM g GROUP BY 1, 2),
 r AS (SELECT lang, gram, n_occurrences,
              row_number() OVER (PARTITION BY lang

@@ -51,25 +51,41 @@ def lww_change_stream(
     exact duplicates, and full replays after restart are all suppressed.
 
     Output schema == input schema; use ``outputMode("update")``.
+
+    Ordering contract: ``seq_col`` should be STRICTLY unique per key (it is
+    a change-sequence / LSN — CDC logs are totally ordered per key). The
+    operator still behaves deterministically if duplicates slip in: equal
+    max-seq rows within a batch are tie-broken by the lexicographic order
+    of the remaining columns (not by shuffle arrival order — ADVICE r3),
+    and an equal-seq row arriving in a LATER batch is suppressed (the state
+    comparison is strictly ``>``), exactly like a replayed duplicate.
     """
     out_schema = df.schema
     col_names = [f.name for f in out_schema.fields]
     if seq_col not in col_names:
         raise ValueError(f"seq column {seq_col!r} not in stream schema {col_names}")
+    tie_cols = [c for c in col_names if c != seq_col]
 
     def fn(
         key: Tuple,
         pdfs: Iterator["pandas.DataFrame"],  # noqa: F821
         state: GroupState,
     ) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
         prev = state.get[0] if state.exists else None
         best = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            row = pdf.loc[[pdf[seq_col].idxmax()]]
-            if best is None or int(row[seq_col].iloc[0]) > int(best[seq_col].iloc[0]):
-                best = row
+            # deterministic in-batch winner: max seq, ties broken by the
+            # remaining columns' values (idxmax alone picks the first of
+            # equal max seqs in shuffle-dependent arrival order); the same
+            # sort arbitrates across Arrow chunks of one batch
+            cand = pdf if best is None else pd.concat([best, pdf])
+            best = cand.sort_values(
+                [seq_col] + tie_cols, kind="mergesort"
+            ).iloc[[-1]]
         if best is not None:
             new_seq = int(best[seq_col].iloc[0])
             if prev is None or new_seq > prev:

