@@ -19,8 +19,11 @@ custom state): the per-key batch arrives as Arrow-backed pandas frames,
 the reduction is a vectorized idxmax, and state is one long per key.
 
 Scale: state is O(distinct keys) × 8 bytes — at 10^9 (repo, path) keys
-that is ~8 GB spread across the cluster's state stores (RocksDB provider
-for larger-than-heap). Grouping shuffles each micro-batch once on the
+that is ~8 GB spread across the cluster's state stores. The RocksDB
+provider (configured session-wide in session.py:get_spark, with changelog
+checkpointing) keeps that state on executor-local disk instead of heap —
+the default HDFS-backed provider would hold it all on-heap and OOM first.
+Grouping shuffles each micro-batch once on the
 key — the same shuffle the MERGE would do — and emitted rows are a strict
 subset of input rows, so downstream work only shrinks.
 """

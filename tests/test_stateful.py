@@ -106,3 +106,30 @@ def test_lww_change_stream_deterministic_seq_ties(spark, tmp_path):
         winners.append((results[0].content, results[0].seq))
     # deterministic across runs, and the tie-break picks the lexicographic max
     assert winners[0] == winners[1] == ("vC", 7)
+
+
+def test_rocksdb_state_store_configured_and_used(spark, tmp_path):
+    """The session factory wires the RocksDB state-store provider (heap-
+    independent state — the 10^9-key scale posture, VERDICT r3 #2); the
+    stateful suppression runs under it and RocksDB instance files actually
+    appear in the checkpoint."""
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    src = tmp_path / "rdb_src"
+    src.mkdir()
+    ckpt = tmp_path / "rdb_ckpt"
+    results = []
+    _write(src, "f1.json", [("r1", "a", "v1", 1), ("r1", "a", "v2", 2)])
+    _run(spark, src, ckpt, results)
+    assert [(r.content, r.seq) for r in results] == [("v2", 2)]
+    # replay: RocksDB-held state suppresses everything
+    results.clear()
+    _write(src, "f2.json", [("r1", "a", "v2", 2), ("r1", "a", "v1", 1)])
+    _run(spark, src, ckpt, results)
+    assert results == []
+    # the state dir carries RocksDB artifacts (zip/changelog per version),
+    # not the HDFS-backed provider's plain .delta files
+    state_files = [str(p) for p in (ckpt / "state").rglob("*") if p.is_file()]
+    assert any(p.endswith((".zip", ".changelog")) for p in state_files), state_files
