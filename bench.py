@@ -189,14 +189,19 @@ def main() -> None:
         "quality_topk",
         "bm25_search",
     ]
+    from plugin_singer_spark.operators.stagecache import release_stage_caches
+
     qs = entry.queries()
     for name in breadth:
         fn = qs[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
         # operators persist their stage tables (shingles, LSH buckets) for
-        # intra-query reuse; drop them between queries so each breadth slot
-        # measures its own work, not a neighbor's cache/GC pressure (the
-        # r2 simhash 2.3→4.3s phantom regression was exactly this)
+        # intra-query reuse; release them between queries so each breadth
+        # slot measures its own work, not a neighbor's cache/GC pressure
+        # (the r2 simhash 2.3→4.3s phantom regression was exactly this).
+        # release_stage_caches() is the operator contract; clearCache()
+        # additionally drops query-local caches (e.g. entry-table cache)
+        release_stage_caches()
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -365,13 +365,14 @@ def embedding_neardup_pairs(
     if planes is None:
         n = corpus_count if corpus_count is not None else df.count()
         planes = auto_planes(n, target_bucket)
-    from pyspark import StorageLevel
+    from plugin_singer_spark.operators.stagecache import persist_stage
 
     vb = v.withColumn("bucket", F.explode(lsh_bucket_col(v, "v", dim, planes, tables)))
     # one materialization feeds BOTH self-join sides (r2: vb recomputed per
     # side = 2 full matmul+explode passes); MEMORY_AND_DISK so pressure
-    # evicts rather than OOMs — the caller's action populates and reuses it
-    vb = vb.persist(StorageLevel.MEMORY_AND_DISK)
+    # evicts rather than OOMs — the caller's action populates and reuses
+    # it, then releases via stagecache.release_stage_caches()/stage_scope()
+    vb = persist_stage(vb)
     a, b = vb.alias("a"), vb.alias("b")
     # dedup candidate pairs BEFORE the cosine (a pair colliding in k
     # tables would pay the dim-wide fold k times); vectors ride the

@@ -327,3 +327,43 @@ def test_resize_plumbing(spark):
     assert bytes(r1["resized"]) == bytes(r2["resized"])  # deterministic
     with pytest.raises(Exception):
         resize_images(df, 4, 4, decode="real").collect()
+
+
+def test_stage_caches_released_after_scope(spark):
+    """Operator-internal persists (shingle/band/bucket stage tables) are
+    registered with operators.stagecache and fully unpersisted when the
+    caller's stage_scope exits — no persisted RDDs accumulate across
+    operators in a long-running driver (VERDICT r3 #3)."""
+    from pyspark.sql import Row, functions as F
+
+    from plugin_singer_spark.operators import dedup as dd
+    from plugin_singer_spark.operators import similarity as sim
+    from plugin_singer_spark.operators.stagecache import stage_scope
+
+    spark.catalog.clearCache()  # clean baseline for the global registry
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta epsilon token{i % 7} zeta eta")
+         for i in range(50)]
+    )
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7 + d) % 5 - 2) for d in range(8)])
+         for i in range(60)]
+    )
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    with stage_scope():
+        dd.minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4, threshold=0.2).count()
+        sim.embedding_neardup_pairs(emb, dim=8, threshold=0.9, tables=4).count()
+        assert n_persisted() > 0  # stage tables were live during the scope
+    assert n_persisted() == 0  # ...and fully released on exit
+
+    # explicit-release variant of the same contract
+    from plugin_singer_spark.operators.stagecache import release_stage_caches
+
+    dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2).count()
+    assert n_persisted() > 0
+    released = release_stage_caches()
+    assert released >= 1 and n_persisted() == 0
