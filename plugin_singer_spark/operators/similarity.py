@@ -264,8 +264,13 @@ def ivf_centroids(
     Init = the ``nlist`` vectors with the smallest md5(vec_id) (seedless
     determinism — identical on every run/cluster size). Each iteration is
     one assign-and-average job: argmax-cosine assignment via the broadcast
-    centroid-matrix kernel, then an element-wise ``avg`` per cluster. Only
-    nlist×dim floats ever reach the driver."""
+    centroid-matrix kernel, then a (cluster, component) mean via
+    ``posexplode`` + one two-key aggregate — the PLAN stays O(1) wide at
+    any ``dim`` (the previous per-dimension ``avg`` column formulation was
+    O(dim) expressions wide and bloated analysis/codegen at dim ≳ 512;
+    VERDICT r3 #5). Map-side partial aggregation combines the dim-fold row
+    inflation down to nlist×dim partials per task, and only nlist×dim
+    (cluster, pos, mean) rows ever reach the driver."""
     v = corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
     init = (
         v.withColumn("_h", hash64(F.col("id").cast("string")))
@@ -277,11 +282,14 @@ def ivf_centroids(
     for _ in range(iters):
         assigned = v.withColumn("c", ivf_assign_col(v, "v", cents, nprobe=1)[0])
         rows = (
-            assigned.groupBy("c")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
+            assigned.select("c", F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.avg("val").alias("m"))
             .collect()
         )
-        new = {int(r["c"]): [float(r[f"d{i}"]) for i in range(dim)] for r in rows}
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(int(r["c"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
         cents = [new.get(i, cents[i]) for i in range(len(cents))]  # empty cluster keeps its centroid
     return cents
 
