@@ -154,10 +154,18 @@ def _write_sink(sink: dict[str, Any], records_by_stream: dict[str, DataFrame]) -
     )
 
     fmt = sink.get("format", "jsonl")
+    # reference knob name is "compression" (PipelinewiseRedshift.java:269);
+    # "codec" accepted as the engine-native alias
+    codec = sink.get("codec") or sink.get("compression")
     if fmt == "jsonl":
-        return write_jsonl_streams(records_by_stream, sink["path"])
+        return write_jsonl_streams(records_by_stream, sink["path"], codec=codec)
     if fmt == "parquet":
-        return write_parquet_streams(records_by_stream, sink["path"])
+        return write_parquet_streams(
+            records_by_stream,
+            sink["path"],
+            codec=codec,
+            partition_by=sink.get("partition_by"),
+        )
     if fmt == "jdbc":
         from plugin_singer_spark.sinks.jdbc import write_jdbc_streams
 
@@ -169,6 +177,7 @@ def _write_sink(sink: dict[str, Any], records_by_stream: dict[str, DataFrame]) -
             delimiter=sink.get("delimiter", ","),
             quotechar=sink.get("quotechar", '"'),
             header=bool(sink.get("header", True)),
+            codec=codec,
         )
     if fmt == "generic":
         spec = sink["writer"]
