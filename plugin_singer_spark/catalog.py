@@ -261,6 +261,132 @@ def discover_from_jsonl(spark, path: str, sample_limit: int | None = None) -> Di
     return DiscoverStreams(streams=streams)
 
 
+# java.sql.Types code → (json type, extra-schema builder). Binary families
+# map to the EMPTY schema {} = inclusion "unsupported", like the fixture's
+# `picture` column (src/test/resources/properties/postgres.json).
+_JDBC_UNSUPPORTED = {-2, -3, -4, 2004}  # BINARY, VARBINARY, LONGVARBINARY, BLOB
+
+
+def _jdbc_type_to_json(code: int, size: int, scale: int) -> dict[str, Any] | None:
+    if code in _JDBC_UNSUPPORTED:
+        return None  # ⇒ {} empty schema, unsupported
+    if code in (-6, 5, 4, -5):  # TINYINT, SMALLINT, INTEGER, BIGINT
+        return {"type": "integer"}
+    if code in (2, 3):  # NUMERIC, DECIMAL
+        if scale and scale > 0:
+            return {"type": "number", "multipleOf": float(10 ** -scale)}
+        return {"type": "integer"}
+    if code in (6, 7, 8):  # FLOAT, REAL, DOUBLE
+        return {"type": "number"}
+    if code in (16, -7):  # BOOLEAN, BIT
+        return {"type": "boolean"}
+    if code == 91:  # DATE
+        return {"type": "string", "format": "date"}
+    if code in (92, 93):  # TIME, TIMESTAMP
+        return {"type": "string", "format": "date-time"}
+    out: dict[str, Any] = {"type": "string"}
+    if code in (1, 12) and size and 0 < size < 10**9:  # CHAR, VARCHAR
+        out["maxLength"] = int(size)
+    return out
+
+
+def discover_from_jdbc(
+    spark,
+    url: str,
+    driver: str | None = None,
+    schema_pattern: str | None = None,
+    properties: dict[str, str] | None = None,
+    lowercase_identifiers: bool = True,
+) -> DiscoverStreams:
+    """Produce a discovery document from a relational source's JDBC
+    metadata — the DB taps' ``--discover`` run (the reference's database
+    taps discover streams + schemas + keys from source metadata,
+    taps/AbstractPythonTap.java:149-163; configs cite ``filter_schemas`` /
+    ``filter_dbs`` discovery pruning, taps/PipelinewisePostgres.java:120-123).
+
+    Uses ``java.sql.DatabaseMetaData`` (``getTables`` / ``getColumns`` /
+    ``getPrimaryKeys``) rather than per-dialect information_schema SQL, so
+    the same code discovers Derby, Postgres, MySQL, SQLServer... — exactly
+    the surface the Singer DB taps read. Driver-side and control-plane
+    only (catalog metadata is tiny); the DATA path stays Spark's
+    distributed JDBC source (job.json ``source.format = "jdbc"``).
+
+    Per-column metadata carries the source type name as ``sql-datatype``
+    (models/DiscoverMetadata.java:57-58); binary columns get the empty
+    ``{}`` schema ⇒ inclusion ``unsupported`` (the fixture's `picture`
+    column); primary-key columns get ``automatic`` inclusion. Identifiers
+    are lowercased by default (Derby/Oracle uppercase unquoted names; the
+    Singer convention is lowercase) — pass ``lowercase_identifiers=False``
+    to keep the source casing.
+    """
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        meta = conn.getMetaData()
+        types = gw.new_array(jvm.java.lang.String, 1)
+        types[0] = "TABLE"
+        norm = (lambda s: s.lower()) if lowercase_identifiers else (lambda s: s)
+
+        tables: list[tuple[str | None, str]] = []
+        rs = meta.getTables(None, schema_pattern, "%", types)
+        while rs.next():
+            tables.append((rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")))
+        rs.close()
+
+        streams = []
+        for schem, tname in sorted(tables, key=lambda t: (t[0] or "", t[1])):
+            keys: list[str] = []
+            rk = meta.getPrimaryKeys(None, schem, tname)
+            pk_order: list[tuple[int, str]] = []
+            while rk.next():
+                pk_order.append((int(rk.getShort("KEY_SEQ")), norm(rk.getString("COLUMN_NAME"))))
+            rk.close()
+            keys = [c for _, c in sorted(pk_order)]
+
+            props_schema: dict[str, Any] = {}
+            sql_types: dict[str, str] = {}
+            rc = meta.getColumns(None, schem, tname, "%")
+            while rc.next():
+                col = norm(rc.getString("COLUMN_NAME"))
+                code = int(rc.getInt("DATA_TYPE"))
+                size = int(rc.getInt("COLUMN_SIZE") or 0)
+                scale = int(rc.getInt("DECIMAL_DIGITS") or 0)
+                nullable = rc.getInt("NULLABLE") != 0  # columnNoNulls == 0
+                sql_types[col] = (rc.getString("TYPE_NAME") or "").lower()
+                sub = _jdbc_type_to_json(code, size, scale)
+                if sub is None:
+                    props_schema[col] = {}  # unsupported (binary)
+                    continue
+                if nullable and col not in keys:
+                    sub = dict(sub)
+                    sub["type"] = ["null", sub["type"]]
+                props_schema[col] = sub
+            rc.close()
+
+            s = DiscoverStream(
+                tap_stream_id=norm(tname),
+                stream=norm(tname),
+                table_name=norm(tname),
+                json_schema={"type": "object", "properties": props_schema},
+                key_properties=keys,
+            )
+            infer_metadata(s)
+            for m in s.metadata:
+                name = m.property_name
+                if name and name in sql_types:
+                    m.metadata["sql-datatype"] = sql_types[name]
+            streams.append(s)
+        return DiscoverStreams(streams=streams)
+    finally:
+        conn.close()
+
+
 def to_discovery_doc(catalog: DiscoverStreams) -> dict[str, Any]:
     """Serialize a catalog back to the tap ``discover.json`` shape — the
     artifact the reference writes as catalog.json/properties.json

@@ -371,6 +371,7 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     from plugin_singer_spark.catalog import (
         StreamsConfiguration,
         catalog_from_discovery,
+        discover_from_jdbc,
         discover_from_jsonl,
         fill,
         infer_metadata,
@@ -381,8 +382,24 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     from plugin_singer_spark.lake.table import LakeTable
 
     src = cfg["source"]
+    src_fmt = src.get("format", "jsonl")
+    jdbc_opts = dict(src.get("options", {})) if src_fmt == "jdbc" else {}
     if cfg.get("catalog") in (None, "discover"):
-        catalog = discover_from_jsonl(spark, src["path"])
+        if src_fmt == "jdbc":
+            # DB-tap discovery: streams/schemas/keys from JDBC metadata
+            # (the reference DB taps' --discover; filter_schemas analog is
+            # source.schema_pattern — taps/PipelinewisePostgres.java:120-123)
+            catalog = discover_from_jdbc(
+                spark,
+                jdbc_opts["url"],
+                driver=jdbc_opts.get("driver"),
+                schema_pattern=src.get("schema_pattern"),
+                properties={
+                    k: v for k, v in jdbc_opts.items() if k in ("user", "password")
+                },
+            )
+        else:
+            catalog = discover_from_jsonl(spark, src["path"])
     else:
         catalog = catalog_from_discovery(cfg["catalog"])
     for s in catalog.streams:
@@ -401,9 +418,11 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     checkpoint_id = cfg.get("checkpoint_id", "catalog")
     epoch = int(cfg.get("epoch", 0))
     persist_empty = bool(cfg.get("persist_empty_tables", True))
-    env = messages.parse_lines(
-        spark.read.text(src["path"]), line_col="value", seq_from_envelope=True
-    )
+    env = None
+    if src_fmt != "jdbc":
+        env = messages.parse_lines(
+            spark.read.text(src["path"]), line_col="value", seq_from_envelope=True
+        )
     stream_maps = cfg.get("stream_maps") or {}
     prefix = cfg.get("table_prefix", "")
     table_paths = cfg.get("table_paths") or {}
@@ -423,10 +442,11 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     from plugin_singer_spark.lake.evolution import evolve_schema
 
     inband: dict[str, T.StructType] = {}
-    for _seq, s_name, struct_ib, _keys in messages.collect_schemas(env, topts):
-        inband[s_name] = (
-            struct_ib if s_name not in inband else evolve_schema(inband[s_name], struct_ib)
-        )
+    if env is not None:
+        for _seq, s_name, struct_ib, _keys in messages.collect_schemas(env, topts):
+            inband[s_name] = (
+                struct_ib if s_name not in inband else evolve_schema(inband[s_name], struct_ib)
+            )
 
     report: dict[str, Any] = {}
     sink_records: dict[str, DataFrame] = {}
@@ -441,13 +461,37 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             known = set(f.name for f in s.spark_schema(topts).fields)
             extra = [f for f in inband[s.stream].fields if f.name not in known]
             struct = evolve_schema(struct, T.StructType(list(struct.fields) + extra))
-        struct = T.StructType(list(struct.fields) + [T.StructField("op", T.StringType())])
-        recs = messages.records_for_stream(env, s.stream, struct, keep_envelope=("seq",))
-        recs = recs.withColumn("op", F.coalesce(F.col("op"), F.lit("U")))
+        md = s.stream_node().metadata
+        if src_fmt == "jdbc":
+            # relational stream: Spark's distributed JDBC scan of the
+            # discovered table, pruned to the selected columns AT THE
+            # SOURCE (the dbtable subquery pushes projection into the DB —
+            # the tap-side pruning of SelectedService). `seq` synthesizes
+            # from the replication key so LWW/bookmarks order correctly;
+            # LOG_BASED does not apply to snapshot reads.
+            cols_sql = ", ".join(cols) or "*"
+            tbl = s.table_name or s.stream
+            q = f"(SELECT {cols_sql} FROM {tbl}) spark_src"
+            recs = (
+                spark.read.format("jdbc")
+                .options(**jdbc_opts)
+                .option("dbtable", q)
+                .load()
+            )
+            recs = recs.toDF(*[c.lower() for c in recs.columns])
+            _method, _rk = s.replication()
+            seq_src = (
+                F.col(_rk).cast("long") if _rk and _rk in recs.columns
+                else F.monotonically_increasing_id()
+            )
+            recs = recs.withColumn("seq", seq_src).withColumn("op", F.lit("U"))
+        else:
+            struct = T.StructType(list(struct.fields) + [T.StructField("op", T.StringType())])
+            recs = messages.records_for_stream(env, s.stream, struct, keep_envelope=("seq",))
+            recs = recs.withColumn("op", F.coalesce(F.col("op"), F.lit("U")))
         # per-stream WHERE + limit (taps/BigQuery.java:46-50,128-141): the
         # predicate pushes into the scan; the cap is by ascending seq so it
         # is deterministic across partitionings
-        md = s.stream_node().metadata
         if md.get("where"):
             recs = recs.filter(F.expr(md["where"]))
         if md.get("limit") is not None:
@@ -486,7 +530,14 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             else LakeTable(spark, tpath)
         )
         method, repl_key = s.replication()
-        method = (method or cfg.get("replication_method", "LOG_BASED")).upper()
+        default_method = "FULL_TABLE" if src_fmt == "jdbc" else "LOG_BASED"
+        method = (method or cfg.get("replication_method", default_method)).upper()
+        if src_fmt == "jdbc" and method == "LOG_BASED":
+            raise ValueError(
+                f"stream {s.stream!r}: LOG_BASED replication needs a change "
+                "stream; a JDBC snapshot source supports FULL_TABLE or "
+                "INCREMENTAL (use the binlog/jsonl source for CDC)"
+            )
         if method == "INCREMENTAL":
             if not repl_key:
                 raise ValueError(
