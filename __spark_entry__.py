@@ -694,6 +694,28 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"), "ts", "30 minutes", ["user_id"])
 
 
+def q_exchange_rate_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-API time-series source through the generic plug point
+    (sources/http_api.py — the ExchangeRateHost tap,
+    taps/ExchangeRateHost.java:55-82): the fixed exchange_rate stream for
+    the dates present in `events`, rates from the deterministic md5 fake
+    fetch, so the full reader path has an exact SQL oracle. Date list is
+    driver-side control plane (an HTTP API returns one payload anyway)."""
+    from plugin_singer_spark.sources.http_api import exchange_rate_reader
+
+    dates = sorted(
+        r["d"]
+        for r in _t(spark, sf_dir, "events")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .collect()
+    )
+    df = exchange_rate_reader(
+        spark, {"base": "usd", "dates": dates, "currencies": ["eur", "gbp", "jpy"]}
+    )
+    return df.select("date", "base", "currency", F.round("rate", 6).alias("rate"), "seq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "message_type_counts": q_message_type_counts,
@@ -740,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "event_window_counts": q_event_window_counts,
         "user_sessions": q_user_sessions,
+        "exchange_rate_sync": q_exchange_rate_sync,
         "stratified_sample": q_stratified_sample,
         "quality_topk": q_quality_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1222,6 +1245,18 @@ SELECT id AS doc_id, bm25,
        CAST(row_number() OVER (ORDER BY bm25 DESC, id ASC) AS INT) AS rank
 FROM scored WHERE bm25 > 0
 ORDER BY rank LIMIT 20"""
+
+    # HTTP-API source (sources/http_api.py): same md5 rate idiom as the
+    # Python fake fetch — rate = 0.5 + (hash60('fx:usd:<cur>:<date>') %
+    # 10000)/10000, seq = yyyymmdd
+    fx_hash = HASH64_SQL.format(x="concat('fx:usd:', c.currency, ':', d.date)")
+    d["exchange_rate_sync"] = f"""
+WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date FROM events),
+c AS (SELECT unnest(['eur', 'gbp', 'jpy']) AS currency)
+SELECT d.date, 'usd' AS base, c.currency,
+       round(0.5 + ({fx_hash} % 10000) / 10000.0, 6) AS rate,
+       CAST(replace(d.date, '-', '') AS BIGINT) AS seq
+FROM d, c"""
     return d
 
 
