@@ -22,6 +22,39 @@ import tempfile
 import time
 
 
+def _cpu_sample() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _steal_sys_pct(pre: list[int], post: list[int]) -> tuple[float, float]:
+    d = [b - a for a, b in zip(pre, post)]
+    tot = sum(d) or 1
+    return round(100.0 * d[7] / tot, 1), round(100.0 * d[2] / tot, 1)
+
+
+def wait_quiet(max_wait_s: int, probe_s: int = 15, steal_thresh: float = 1.5) -> float:
+    """Block (bounded) until hypervisor steal drops below ``steal_thresh``%
+    over a ``probe_s`` sample — the same quiet-window gate
+    scripts/bench_scaling.py uses, now applied to the single-shot driver
+    run too (VERDICT r3 #4: the r3 headline was recorded inside a
+    co-tenant burst and read as a phantom 2.8× regression). The run is
+    scheduled around bursts but measured whole; steal over the measured
+    window is stamped into the output either way."""
+    waited = 0.0
+    while waited < max_wait_s:
+        pre = _cpu_sample()
+        time.sleep(probe_s)
+        post = _cpu_sample()
+        steal, _ = _steal_sys_pct(pre, post)
+        waited += probe_s
+        if steal < steal_thresh:
+            return waited
+        time.sleep(30)
+        waited += 30
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -136,6 +169,14 @@ def main() -> None:
         )
         shutil.rmtree(wroot, ignore_errors=True)
         timings["warmup"] = round(time.time() - t0, 3)
+    # quiet-window gate before the TIMED replay (BENCH_WAIT_QUIET=0 skips;
+    # bounded so a busy machine still produces a number — with its steal%
+    # stamped below so the reader can tell a burst from a regression)
+    if os.environ.get("BENCH_WAIT_QUIET", "1") == "1":
+        waited = wait_quiet(int(os.environ.get("BENCH_QUIET_MAX_WAIT", "600")))
+        if waited:
+            print(f"(waited {waited:.0f}s for a quiet co-tenant window)", file=sys.stderr)
+    cpu_pre = _cpu_sample()
     t0 = time.time()
     stats = replay_files(
         spark,
@@ -151,6 +192,7 @@ def main() -> None:
         **({"dedup": dedup} if mode == "mor" else {}),
     )
     replay_sec = time.time() - t0
+    replay_steal_pct, replay_sys_pct = _steal_sys_pct(cpu_pre, _cpu_sample())
     timings["cdc_replay"] = round(replay_sec, 3)
     timings["final_compact"] = stats.final_compact_sec
     events_per_sec = stats.events / replay_sec if replay_sec > 0 else 0.0
@@ -225,6 +267,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir,
                 "cpus": cpus,
+                # co-tenant interference over the TIMED replay window:
+                # hypervisor steal / kernel time as a fraction of this VM's
+                # cycles — readers compare headlines across rounds WITH this
+                # stamp (a high-steal run is a burst, not a regression)
+                "replay_steal_pct": replay_steal_pct,
+                "replay_sys_pct": replay_sys_pct,
                 "replay": {
                     "mode": mode,
                     "events": stats.events,

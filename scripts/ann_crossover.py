@@ -7,7 +7,9 @@ trivially fast and the bucketed path's fixed overhead (python-kernel spin-up
 cross. This script synthesizes deterministic clustered corpora (md5-derived
 centers + noise, no RNG) at several sizes, runs both paths with identical
 queries, and prints one JSON line per size. Results are recorded in
-BENCH/BASELINE.md.
+BENCH/BASELINE.md (the `ann-crossover` appendix section, maintained via
+scripts/benchdoc.py so bench_scaling's BASELINE.md rewrites keep it) and
+BENCH/ann_crossover.json.
 
 Cost model being verified: exact is O(|Q|·|C|) per batch of queries; LSH is
 O(|Q|·tables·(1+multiprobe)·target_bucket) — constant in |C| — plus the
@@ -24,6 +26,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # benchdoc
 
 DIM = 64
 N_CLUSTERS = 256
@@ -69,6 +72,7 @@ def main() -> None:
     sim.lsh_topk(warm, wq, dim=DIM, k=5, corpus_count=1000).count()
     warm.unpersist()
 
+    results = []
     for n in sizes:
         emb = synth_embeddings(spark, n).cache()
         emb.count()
@@ -82,16 +86,50 @@ def main() -> None:
         t0 = time.time()
         a = {(r["query_id"], r["vec_id"]) for r in sim.lsh_topk(c, q, dim=DIM, k=5, corpus_count=n).collect()}
         t_lsh = time.time() - t0
-        print(json.dumps({
+        rec = {
             "n": n,
             "planes": sim.auto_planes(n),
             "exact_sec": round(t_exact, 2),
             "lsh_sec": round(t_lsh, 2),
             "speedup": round(t_exact / t_lsh, 2),
             "recall": round(len(e & a) / len(e), 3) if e else None,
-        }))
+        }
+        results.append(rec)
+        print(json.dumps(rec))
         emb.unpersist()
         spark.catalog.clearCache()
+
+    from plugin_singer_spark.operators.stagecache import release_stage_caches
+
+    release_stage_caches()
+    import benchdoc  # scripts/benchdoc.py (same dir)
+
+    os.makedirs(benchdoc.BENCH_DIR, exist_ok=True)
+    with open(os.path.join(benchdoc.BENCH_DIR, "ann_crossover.json"), "w") as f:
+        json.dump({"dim": DIM, "queries": N_QUERIES, "cpus": cpus, "results": results}, f, indent=1)
+    rows = "\n".join(
+        f"| {r['n']:,} | {r['planes']} | {r['exact_sec']} | {r['lsh_sec']} | "
+        f"{r['speedup']}× | {r['recall']} |"
+        for r in results
+    )
+    benchdoc.set_section(
+        "ann-crossover",
+        f"""## ANN exact↔LSH crossover (scripts/ann_crossover.py)
+
+Deterministic clustered corpora (dim={DIM}, {N_QUERIES} queries, k=5,
+auto-derived planes, local[{cpus}]): exact brute-force cosine top-k vs the
+auto-planes LSH path on identical inputs. The bucketed path's per-query
+candidate volume is constant in |corpus| (≈ tables×(1+multiprobe)×
+target_bucket), so its curve is flat where exact grows linearly — the
+crossover is where the index pays for its fixed overhead.
+
+| corpus | planes | exact sec | LSH sec | LSH speedup | LSH recall@5 |
+|---|---|---|---|---|---|
+{rows}
+
+Reproduce: `python scripts/ann_crossover.py {' '.join(str(r['n']) for r in results)}`
+(raw JSON in BENCH/ann_crossover.json).""",
+    )
 
 
 if __name__ == "__main__":

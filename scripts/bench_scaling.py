@@ -27,6 +27,8 @@ import subprocess
 import sys
 import tempfile
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # benchdoc
+
 
 def _cpu_sample() -> list[int]:
     with open("/proc/stat") as f:
@@ -70,6 +72,7 @@ def run_level(cpus: int, events: int, binlog_dir: str) -> dict:
         BENCH_TABLE_DIR=os.environ.get("BENCH_TABLE_DIR", "/dev/shm"),
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         BENCH_BATCH_EVENTS=os.environ.get("BENCH_BATCH_EVENTS", str(max(events // 4, 500_000))),
+        BENCH_WAIT_QUIET="0",  # this script already gates on a quiet window
     )
     pre = _cpu_sample()
     out = subprocess.run(
@@ -227,6 +230,11 @@ process-wide mmap_lock and a 32-thread run collapses into ~55% kernel time
 Reproduce: `BENCH_BINLOG_DIR=/dev/shm/bench_binlog8 python scripts/bench_scaling.py {n} {events}`
 """
         )
+    # re-attach saved appendix sections (ANN crossover, sf-scaling...) the
+    # rewrite just dropped — see scripts/benchdoc.py
+    import benchdoc
+
+    benchdoc.reattach_sections()
 
 
 if __name__ == "__main__":
