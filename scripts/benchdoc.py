@@ -18,8 +18,10 @@ BENCH_DIR = os.path.join(
 BASELINE = os.path.join(BENCH_DIR, "BASELINE.md")
 
 
-def _side_path(name: str) -> str:
-    return os.path.join(BENCH_DIR, f"{name.upper().replace('-', '_')}.md")
+def _side_path(name: str, baseline_path: str = BASELINE) -> str:
+    return os.path.join(
+        os.path.dirname(baseline_path), f"{name.upper().replace('-', '_')}.md"
+    )
 
 
 def set_section(name: str, content: str, baseline_path: str = BASELINE) -> None:
@@ -29,7 +31,7 @@ def set_section(name: str, content: str, baseline_path: str = BASELINE) -> None:
     start, end = f"<!-- {name}:start -->", f"<!-- {name}:end -->"
     block = f"{start}\n{content.strip()}\n{end}\n"
     os.makedirs(os.path.dirname(baseline_path), exist_ok=True)
-    with open(_side_path(name), "w") as f:
+    with open(_side_path(name, baseline_path), "w") as f:
         f.write(block)
     text = ""
     if os.path.exists(baseline_path):
