@@ -121,7 +121,11 @@ TAPS: dict[str, ConnectorSpec] = {
         _tap("netsuite", "tap-netsuite", "tap-netsuite", PDS, "taps/Netsuite.java:103-134"),
         _tap("fastly", "tap-fastly", "tap-fastly", CDS, "taps/Fastly.java:53-78"),
         _tap("exchange-rate-host", "tap-exchangeratehost", "tap-exchangeratehost", (STATE,),
-             "taps/ExchangeRateHost.java:55-82"),  # fixed single stream, no discovery
+             "taps/ExchangeRateHost.java:55-82",  # fixed single stream, no discovery
+             # worked engine implementation: sources/http_api.py registers
+             # this name via register_source (import plugin_singer_spark.sources)
+             {"base": "source.base", "start_date": "source.start_date",
+              "end_date": "source.end_date"}),
         _tap("generic", "<user>", "<user>", PDS, "taps/GenericTap.java:28-77"),
     ]
 }
