@@ -117,6 +117,9 @@ def register_source(name: str, reader: SourceReader) -> None:
 
 
 def _resolve_reader(spec: str) -> SourceReader:
+    if spec not in _SOURCE_READERS:
+        # built-in worked sources self-register on import (sources/__init__)
+        importlib.import_module("plugin_singer_spark.sources")
     if spec in _SOURCE_READERS:
         return _SOURCE_READERS[spec]
     if ":" in spec:  # dotted path "pkg.mod:fn"
