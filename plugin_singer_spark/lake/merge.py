@@ -433,8 +433,28 @@ def compact(table: LakeTable, min_delta_files: int = 1, buckets: list[int] | Non
     resolved = table.read(buckets=todo, include_deleted=True).withColumn(
         "_bucket", bucket_expr(snap.key_columns, snap.num_buckets)
     )
+    # size-adaptive write fan-out: compaction parallelism was capped at
+    # ONE write task per bucket, so a cluster wider than the bucket count
+    # idles through the write wave, and any bucket bigger than its peers
+    # (statistical imbalance, or growth since the bucket count was chosen)
+    # paces it (the 2→8-core compaction scaling of 0.59 vs 0.89 for the
+    # epoch path — BENCH/BASELINE.md ladder — is partly this fixed-width
+    # wave). Split each bucket into ceil(rows/target) tasks, target ≈ 2
+    # write waves across the cluster; per-bucket row counts come from
+    # parquet footers (no scan). Bucket-level skew from a mega-repo does
+    # NOT arise here — bucketing hashes the full (repo, path) key.
+    split = None
+    rows_b = table.bucket_row_counts(todo)
+    if rows_b:
+        total = sum(rows_b.values())
+        par = table.spark.sparkContext.defaultParallelism
+        target = max(total // max(2 * par, len(todo)) + 1, 50_000)
+        split = {b: min(32, -(-r // target)) for b, r in rows_b.items()}
+        if all(k <= 1 for k in split.values()):
+            split = None
     new_files = table.write_buckets(
-        resolved, snap.schema, num_buckets_hint=len(todo), sort_columns=snap.key_columns
+        resolved, snap.schema, num_buckets_hint=len(todo), sort_columns=snap.key_columns,
+        split_per_bucket=split,
     )
     tset = {str(b) for b in todo}
     files = {b: fs for b, fs in snap.files.items() if b not in tset}

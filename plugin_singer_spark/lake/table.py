@@ -424,6 +424,26 @@ class LakeTable:
 
     # ---------- writes ----------
 
+    def bucket_row_counts(self, buckets: list[int] | None = None) -> dict[int, int] | None:
+        """Rows per bucket (base + delta) from parquet footers — O(files)
+        metadata reads, no scan. None if pyarrow is unavailable. The input
+        to skew-adaptive write fan-out (compact's mega-bucket splitting)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return None
+        snap = self.snapshot()
+        want = set(int(b) for b in buckets) if buckets is not None else None
+        out: dict[int, int] = {}
+        for m in (snap.files, snap.delta_files):
+            for b, fs in m.items():
+                bi = int(b)
+                if want is not None and bi not in want:
+                    continue
+                for rel in fs:
+                    out[bi] = out.get(bi, 0) + pq.ParquetFile(self._abs(rel)).metadata.num_rows
+        return out
+
     def write_buckets(
         self,
         df: DataFrame,
@@ -431,6 +451,7 @@ class LakeTable:
         num_buckets_hint: int | None = None,
         sort_columns: list[str] | None = None,
         tasks_per_bucket: int | None = None,
+        split_per_bucket: dict[int, int] | None = None,
     ) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``_bucket``) as a new immutable file set
         partitioned by bucket; returns bucket→relative-paths. One shuffle
@@ -442,39 +463,67 @@ class LakeTable:
         ``max_parallelism`` knob, targets/PipelinewisePostgres.java:155-156)
         splits each bucket across k write tasks (k files per bucket): the
         fan-out for a cluster wider than the bucket count. The split key is
-        a hash of the table keys, so it is deterministic and balanced."""
+        a hash of the table keys, so it is deterministic and balanced.
+
+        ``split_per_bucket`` is the SKEW-ADAPTIVE variant: bucket b gets
+        its own k_b write tasks (e.g. from :meth:`bucket_row_counts` —
+        compact uses it to split a mega-repo's hot bucket instead of
+        letting one straggler task pace the whole write wave). Buckets
+        absent from the dict get 1 task."""
         sid = uuid.uuid4().hex[:16]
         out_rel = os.path.join(DATA_DIR, sid)
         out_abs = self._abs(out_rel)
         cols = [f.name for f in schema.fields]
-        n_buckets_in_df = num_buckets_hint or df.select("_bucket").distinct().count()
-        n_part = max(int(n_buckets_in_df), 1)
         snap = self.snapshot()
-        k = int(
-            tasks_per_bucket
-            if tasks_per_bucket is not None
-            else snap.properties.get("write.tasks_per_bucket", 1)
-        )
-        k = max(k, 1)
-        slot = F.pmod(F.col("_bucket"), F.lit(n_part)).cast("int")
-        if k > 1:
-            # the split hash MUST be independent of the bucket hash (plain
-            # xxhash64(keys) mod k is a function of the bucket id — every
-            # bucket would land in one split); the literal prefix decorrelates
+        if split_per_bucket:
+            # per-bucket fan-out: contiguous slot ranges per GLOBAL bucket
+            # id, salt within a range by a key hash decorrelated from the
+            # bucket hash. Slot mapping rides two O(num_buckets) literal
+            # arrays — plan width is the bucket count, not the row count.
+            nb = snap.num_buckets
+            ks = [max(1, int(split_per_bucket.get(b, 1))) for b in range(nb)]
+            offs, acc = [], 0
+            for kb in ks:
+                offs.append(acc)
+                acc += kb
+            total = acc
+            off_arr = F.array(*[F.lit(x).cast("int") for x in offs])
+            k_arr = F.array(*[F.lit(x).cast("int") for x in ks])
             salt = F.pmod(
-                F.xxhash64(F.lit("_split"), *[F.col(c) for c in snap.key_columns]), F.lit(k)
+                F.xxhash64(F.lit("_split"), *[F.col(c) for c in snap.key_columns]),
+                F.element_at(k_arr, F.col("_bucket").cast("int") + 1),
             ).cast("int")
-            slot = slot * F.lit(k) + salt
-        probes = _bucket_probes(self.spark, n_part * k)
+            slot = F.element_at(off_arr, F.col("_bucket").cast("int") + 1) + salt
+            n_exchange = total
+        else:
+            n_buckets_in_df = num_buckets_hint or df.select("_bucket").distinct().count()
+            n_part = max(int(n_buckets_in_df), 1)
+            k = int(
+                tasks_per_bucket
+                if tasks_per_bucket is not None
+                else snap.properties.get("write.tasks_per_bucket", 1)
+            )
+            k = max(k, 1)
+            slot = F.pmod(F.col("_bucket"), F.lit(n_part)).cast("int")
+            if k > 1:
+                # the split hash MUST be independent of the bucket hash (plain
+                # xxhash64(keys) mod k is a function of the bucket id — every
+                # bucket would land in one split); the literal prefix decorrelates
+                salt = F.pmod(
+                    F.xxhash64(F.lit("_split"), *[F.col(c) for c in snap.key_columns]), F.lit(k)
+                ).cast("int")
+                slot = slot * F.lit(k) + salt
+            n_exchange = n_part * k
+        probes = _bucket_probes(self.spark, n_exchange)
         if probes is not None:
             # bucket-aligned exchange: exactly one (bucket, split) per write
             # task (see _bucket_probes — plain hash-on-_bucket skews 2-3×)
             probe_col = F.element_at(
                 F.array(*[F.lit(x).cast("int") for x in probes]), slot + 1
             )
-            out = df.select("_bucket", *cols).repartition(n_part * k, probe_col)
+            out = df.select("_bucket", *cols).repartition(n_exchange, probe_col)
         else:
-            out = df.select("_bucket", *cols).repartition(n_part * k, slot)
+            out = df.select("_bucket", *cols).repartition(n_exchange, slot)
         if sort_columns:
             # key-clustered files: parquet row-group min/max on the keys
             # become selective, so point lookups (one repo/path) prune row

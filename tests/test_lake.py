@@ -310,3 +310,36 @@ def test_commit_conflict(spark, table):
     with pytest.raises((CommitConflict, FileExistsError)):
         table._write_manifest(clash)
     assert state(table) == [("r", "p", "v")]
+
+
+def test_compact_splits_oversized_buckets(spark, tmp_path):
+    """Size-adaptive compaction fan-out: buckets bigger than the per-task
+    target are written by MULTIPLE tasks (ceil(rows/target) files each), so
+    compaction parallelism is no longer capped at num_buckets — the wall
+    at cluster scale when buckets outnumber-grow their original sizing.
+    Per-bucket counts come from parquet footers only; final state and
+    footer stats stay exact."""
+    from plugin_singer_spark.lake.merge import compact, merge_append
+
+    t = LakeTable.create(spark, str(tmp_path / "wide"), REPOS, ["repo", "path"], num_buckets=2)
+    # 150k rows over 2 buckets → ~75k/bucket, above compact()'s 50k floor
+    # target ⇒ each bucket splits into 2 write tasks
+    n = 150_000
+    rows = spark.range(n).selectExpr(
+        "id as seq", "'U' as op",
+        "concat('r', cast(id % 40 as string)) as repo",
+        "concat('p', cast(id as string)) as path",
+        "md5(cast(id as string)) as commit", "'py' as lang",
+        "md5(concat('v', cast(id as string))) as content",
+    )
+    merge_append(t, rows)
+    snap = compact(t, min_delta_files=1)
+    assert snap is not None
+    per_bucket_files = {b: len(fs) for b, fs in snap.files.items()}
+    assert max(per_bucket_files.values()) >= 2, per_bucket_files
+    # correctness: every row present exactly once, stats exact
+    assert t.read().count() == n
+    st = t.stats()
+    assert st["exact"] and st["base_live_rows"] == n
+    # bucket files stay bucket-pure: key-filtered reads still prune
+    assert t.read().filter(F.col("repo") == "r7").count() == n // 40
