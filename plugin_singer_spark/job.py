@@ -483,10 +483,22 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             )
             recs = recs.toDF(*[c.lower() for c in recs.columns])
             _method, _rk = s.replication()
-            seq_src = (
-                F.col(_rk).cast("long") if _rk and _rk in recs.columns
-                else F.monotonically_increasing_id()
-            )
+            if _rk and _rk in recs.columns:
+                # type-aware: a timestamp/date/string replication key must
+                # not cast to NULL seq (LWW would see every row as oldest)
+                rk_type = recs.schema[_rk].dataType
+                if isinstance(rk_type, T.TimestampType):
+                    seq_src = F.unix_micros(F.col(_rk))
+                elif isinstance(rk_type, T.DateType):
+                    seq_src = F.datediff(F.col(_rk), F.lit("1970-01-01")).cast("long")
+                elif isinstance(rk_type, (T.StringType, T.VarcharType, T.CharType)):
+                    # orderable but not numeric: snapshot rows are unique
+                    # per key anyway; bookmarks use the key column itself
+                    seq_src = F.monotonically_increasing_id()
+                else:
+                    seq_src = F.col(_rk).cast("long")
+            else:
+                seq_src = F.monotonically_increasing_id()
             recs = recs.withColumn("seq", seq_src).withColumn("op", F.lit("U"))
         else:
             struct = T.StructType(list(struct.fields) + [T.StructField("op", T.StringType())])
