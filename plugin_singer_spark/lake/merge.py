@@ -446,12 +446,18 @@ def compact(table: LakeTable, min_delta_files: int = 1, buckets: list[int] | Non
     split = None
     rows_b = table.bucket_row_counts(todo)
     if rows_b:
-        total = sum(rows_b.values())
         par = table.spark.sparkContext.defaultParallelism
-        target = max(total // max(2 * par, len(todo)) + 1, 50_000)
-        split = {b: min(32, -(-r // target)) for b, r in rows_b.items()}
-        if all(k <= 1 for k in split.values()):
-            split = None
+        med = sorted(rows_b.values())[len(rows_b) // 2]
+        # engage only when the one-task-per-bucket wave is actually the
+        # constraint: the cluster is wider than the wave, or some bucket
+        # dwarfs the median; otherwise keep the single-file-per-bucket
+        # layout (fewer files, identical plan to the pre-adaptive path)
+        if 2 * par > len(todo) or (med > 0 and max(rows_b.values()) > 2 * med):
+            total = sum(rows_b.values())
+            target = max(total // max(2 * par, len(todo)) + 1, 50_000)
+            split = {b: min(32, -(-r // target)) for b, r in rows_b.items()}
+            if all(k <= 1 for k in split.values()):
+                split = None
     new_files = table.write_buckets(
         resolved, snap.schema, num_buckets_hint=len(todo), sort_columns=snap.key_columns,
         split_per_bucket=split,
