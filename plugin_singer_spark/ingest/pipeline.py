@@ -118,6 +118,7 @@ def replay_cdc(
     envelope_cols: tuple[str, ...] = ("ts",),
     mode: str = "cow",
     lineage_extra: dict[str, Any] | None = None,
+    refence: bool = False,
     **merge_kwargs: Any,
 ) -> IngestReport:
     """LOG_BASED replication: replay change events in (from_seq, to_seq],
@@ -140,7 +141,10 @@ def replay_cdc(
     if to_seq is not None:
         ev = ev.filter(F.col(seq_col) <= F.lit(to_seq))
 
-    if epoch is not None and checkpoint_id is not None:
+    if epoch is not None and checkpoint_id is not None and not refence:
+        # ``refence=True`` bypasses the skip for a PARTIAL tail epoch the
+        # caller knows has since grown (replay_chunked's resume) — safe
+        # because the merge is LWW-idempotent for the already-applied rows
         fence = table.last_committed_epoch(checkpoint_id)
         if epoch <= fence:
             snap = table.snapshot()

@@ -83,9 +83,25 @@ def replay_chunked(
         return stats
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     start_epoch = 0
+    refence_epoch = None
     if resume:
+        from plugin_singer_spark.ingest.pipeline import seq_bookmark
+
         fence = table.last_committed_epoch(checkpoint_id)
         start_epoch = fence + 1
+        bm = seq_bookmark(table, stream)
+        if fence >= 0 and bm is not None:
+            fence_end = lo - 1 + (fence + 1) * batch_events
+            if int(bm) < fence_end and hi > int(bm):
+                # the fenced tail epoch committed PARTIAL (stream ended
+                # mid-range — the live-binlog tail case) and the stream has
+                # since grown INTO that range: re-run the tail epoch. Safe
+                # because the merge is LWW-idempotent (replayed rows tie in
+                # favor of the target; only the genuinely new seqs apply).
+                # A re-run over the unchanged artifact still fences to
+                # zero epochs (hi == bookmark).
+                start_epoch = fence
+                refence_epoch = fence
     epoch = start_epoch
     while True:
         from_seq = lo - 1 + epoch * batch_events
@@ -104,6 +120,7 @@ def replay_chunked(
             epoch=epoch,
             checkpoint_id=checkpoint_id,
             mode=mode,
+            refence=(epoch == refence_epoch),
             **merge_kwargs,
         )
         stats.events += rep.record_count

@@ -101,12 +101,78 @@ def exchange_rate_reader(spark: SparkSession, src: dict) -> DataFrame:
     return spark.createDataFrame(rows, RATE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# GitHub-tap analog: an API source for the engine's own input domain
+# ---------------------------------------------------------------------------
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+_LANGS = ("py", "java", "ts", "md")
+
+
+def fake_repo_events_fetch(repos: list[str], since_seq: int, until_seq: int) -> list[dict]:
+    """Deterministic stand-in for a code-hosting API's commit feed
+    (taps/GitHub.java:81-110 — repos list + start_date window): event i of
+    repo r touches path ``src/f<md5-derived>.py``-style files with
+    md5-derived commit ids and contents; every 11th event is a delete.
+    The same (repo, seq) always produces the same event — replays and
+    window re-fetches are byte-identical, which is what makes the fenced
+    CDC path testable against it."""
+    out = []
+    for seq in range(since_seq, until_seq):
+        r = repos[seq % len(repos)]
+        h = hashlib.md5(f"gh:{r}:{seq}".encode()).hexdigest()
+        is_del = seq % 11 == 10
+        out.append(
+            {
+                "seq": seq,
+                "op": "D" if is_del else ("I" if seq % 3 == 0 else "U"),
+                "repo": r,
+                "path": f"src/f{int(h[:4], 16) % 50}.{_LANGS[seq % 4]}",
+                "commit": h,
+                "lang": _LANGS[seq % 4],
+                "content": None if is_del else hashlib.md5(f"v:{h}".encode()).hexdigest(),
+            }
+        )
+    return out
+
+
+def repo_events_reader(spark: SparkSession, src: dict) -> DataFrame:
+    """Generic-source reader for a GitHub-like commit-event API — the
+    LOG_BASED twin of :func:`exchange_rate_reader` (reference analog:
+    taps/GitHub.java:81-120, the source-code-repo API tap; SURVEY §2.3
+    maps it onto the engine's repos input domain). Config: ``repos`` list,
+    ``since_seq``/``until_seq`` window, optional injected ``fetch``. The
+    returned frame carries (seq, op) change columns, so it flows through
+    replay_chunked's fenced micro-batched MERGE like any binlog."""
+    repos = list(src.get("repos") or ["org-0"])
+    since = int(src.get("since_seq", 0))
+    until = int(src.get("until_seq", since + 1000))
+    fetch = src.get("fetch") or fake_repo_events_fetch
+    rows = [
+        (int(r["seq"]), r["op"], r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in fetch(repos, since, until)
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
 def register() -> None:
-    """Register under the connector-registry name (connectors.py TAPS
-    'exchange-rate-host')."""
+    """Register under the connector-registry names (connectors.py TAPS
+    'exchange-rate-host' / 'github')."""
     from plugin_singer_spark.job import register_source
 
     register_source("exchange-rate-host", exchange_rate_reader)
+    register_source("github", repo_events_reader)
 
 
 register()

@@ -87,3 +87,51 @@ def test_registered_reader_name(spark):
         spark, {"dates": ["2024-02-01", "2024-02-02"], "currencies": ["eur"], "fetch": fetch}
     )
     assert df.count() == 2 and calls == [("usd", ("2024-02-01", "2024-02-02"), ("eur",))]
+
+
+def test_github_like_cdc_source_fenced_merge(spark, tmp_path):
+    """GitHub-tap analog (taps/GitHub.java:81-120) through the generic
+    plug point into the LOG_BASED path: API change events -> chunked
+    fenced MERGE; a re-run of the same window is epoch-fenced to zero, a
+    later window advances, and the final state matches the LWW oracle
+    computed independently from the fake feed."""
+    from plugin_singer_spark.sources.http_api import fake_repo_events_fetch
+
+    def cfg(until):
+        return {
+            "table": {
+                "path": str(tmp_path / "ghlake"),
+                "keys": ["repo", "path"],
+                "num_buckets": 2,
+                "columns": {"repo": "string", "path": "string", "commit": "string",
+                            "lang": "string", "content": "string"},
+            },
+            "source": {"format": "generic", "reader": "github", "stream": "repos",
+                       "repos": ["org-a", "org-b"], "since_seq": 0, "until_seq": until,
+                       "batch_events": 400},
+            "replication_method": "LOG_BASED",
+            "write_mode": "mor",
+            "checkpoint_id": "gh",
+        }
+
+    out = run_job(spark, cfg(1000))
+    assert out["events"] == 1000 and out["batches"] >= 2
+
+    out2 = run_job(spark, cfg(1000))  # identical window: every epoch fenced
+    assert out2["events"] == 0
+
+    # window advances INTO the partially-filled tail epoch (epoch 2 covered
+    # seqs 800..1199 but the stream ended at 999): the tail epoch re-runs
+    # idempotently — 400 source rows read, the 200 genuinely new applied
+    out3 = run_job(spark, cfg(1200))
+    assert out3["events"] == 400
+
+    # final state == independent LWW fold of the deterministic feed
+    events = fake_repo_events_fetch(["org-a", "org-b"], 0, 1200)
+    last = {}
+    for e in events:  # seq-ordered by construction
+        last[(e["repo"], e["path"])] = e
+    expect = {(k[0], k[1], e["commit"]) for k, e in last.items() if e["op"] != "D"}
+    t = LakeTable(spark, str(tmp_path / "ghlake"))
+    got = {(r.repo, r.path, r.commit) for r in t.read().select("repo", "path", "commit").collect()}
+    assert got == expect
