@@ -185,6 +185,13 @@ def replay_files(
     Epoch fencing + bookmarks commit atomically with each merge, exactly as
     in :func:`replay_chunked`; the epoch number is the file-chunk index, so
     resume re-derives the same chunking from the sorted file list.
+
+    Growth contract: files that arrive AFTER a fenced run must sort
+    lexicographically after every already-consumed file (true for
+    monotonic binlog file naming — mysql binlog.NNNNNN, WAL segments, and
+    datagen's part-NNNNN), otherwise the re-derived chunk boundaries shift
+    under the fence. For seq-carrying streams without that naming, use
+    :func:`replay_chunked` (seq-range epochs + grow-into-tail re-run).
     """
     import glob as _glob
 
