@@ -84,3 +84,33 @@ def test_replay_is_idempotent(spark, tmp_path_factory, events):
     first = engine_state(t)
     merge_into(t, df)  # replay
     assert engine_state(t) == first == oracle_state(spark, rows)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=events_strategy,
+    grow_cuts=st.lists(st.integers(1, 39), min_size=1, max_size=3),
+    batch_events=st.integers(min_value=2, max_value=9),
+)
+def test_growing_stream_replay_converges(spark, tmp_path_factory, events, grow_cuts, batch_events):
+    """A stream replayed through replay_chunked at ARBITRARY growth points
+    (including cuts that land mid-epoch, leaving a partially-filled fenced
+    tail) converges to the window-LWW oracle: the grow-into-tail re-run is
+    idempotent for already-applied rows and applies exactly the new ones."""
+    from plugin_singer_spark.ingest.streaming import replay_chunked
+
+    rows = [
+        (seq, op, f"r{repo}", f"p{path}", f"c{seq}", "py", None if op == "D" else f"v{ver}")
+        for seq, (op, repo, path, ver) in enumerate(events)
+    ]
+    cuts = sorted({c for c in grow_cuts if c <= len(rows)} | {len(rows)})
+    t = LakeTable.create(
+        spark, str(tmp_path_factory.mktemp("grow") / "t"), REPOS, ["repo", "path"], num_buckets=2
+    )
+    for cut in cuts:
+        visible = spark.createDataFrame(rows[:cut], COLS)
+        replay_chunked(
+            t, visible, batch_events=batch_events, checkpoint_id="grow", mode="mor"
+        )
+    compact(t, min_delta_files=1)
+    assert engine_state(t) == oracle_state(spark, rows)
