@@ -134,33 +134,33 @@ def minhash_signatures(
     h_i(s) = h1(s) + i·h2(s) — TWO md5 evaluations per shingle instead of K
     (the standard construction; preserves minhash collision statistics).
 
-    Cost model: |shingles| × (2 md5 + K adds) through one partial-aggregated
-    groupBy — linear in corpus size, the canonical 100 TB shape. Returns
+    Cost model: |shingles| × (2 md5 + K adds) through ONE partial-aggregated
+    groupBy — linear in corpus size, the canonical 100 TB shape: the K
+    per-index minima are K ``min`` aggregate columns over the un-exploded
+    shingle rows, so the map side combines each partition down to |ids|×K
+    longs before the single shuffle. (The previous formulation posexploded
+    K rows per shingle and paid two shuffles — K× the exchange volume.)
+    Plan width is K aggregates, bounded by the ≤64 hash cap. Returns
     (id, signature: array<long> ordered by hash index). ``shingles`` lets a
     caller share one (persisted) shingle table across the signature and
     verify stages instead of re-shingling the corpus per stage."""
     assert num_hashes <= 64, "i·h2 bound holds for ≤64 hash functions"
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
-    # materialize h1/h2 as real columns BEFORE the transform so the two md5
-    # evaluations happen once per shingle (inside a lambda they could be
-    # re-evaluated per array element)
+    # materialize h1/h2 as real columns so the two md5 evaluations happen
+    # once per shingle (not once per derived hash)
     hh = sh.select(
         "id",
         hash64(F.col("shingle")).alias("_h1"),
         F.pmod(hash64(F.concat(F.lit("km:"), F.col("shingle"))), F.lit(_H2_MOD)).alias("_h2"),
     )
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    hashed = hh.select(
-        "id",
-        F.posexplode(
-            F.transform(seeds, lambda i: F.col("_h1") + i.cast("long") * F.col("_h2"))
-        ).alias("hidx", "h"),
+    mins = hh.groupBy("id").agg(
+        *[
+            F.min(F.col("_h1") + F.lit(i).cast("long") * F.col("_h2")).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    mins = hashed.groupBy("id", "hidx").agg(F.min("h").alias("minh"))
-    return (
-        mins.groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("hidx", "minh"))).alias("s"))
-        .select("id", F.transform("s", lambda x: x["minh"]).alias("signature"))
+    return mins.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
     )
 
 
@@ -238,34 +238,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) 
     """SimHash fingerprint: per token a 64-bit hash votes ±1 on each bit
     position; the fingerprint's bit j is 1 iff the weighted sum > 0.
 
-    Declarative formulation: explode (token × bit-position) and aggregate —
-    bits× row inflation but fully codegen'd and partial-aggregated; for the
-    narrow-hot-loop variant use :func:`simhash_pandas` (same result,
-    tested equal).
-    ``bits`` ≤ 60: 2^pos must stay an exact double and a positive long for
-    oracle parity.
+    Declarative formulation: the ``bits`` per-position vote sums are
+    ``bits`` sum-aggregate columns over the un-exploded token rows — one
+    partial-aggregated shuffle of |ids|×bits longs (the previous
+    posexplode form inflated rows bits× and shuffled twice). The fingerprint
+    assembles from the aggregate columns as one expression; for the
+    Arrow-kernel variant use :func:`simhash_pandas` (same result, tested
+    equal). ``bits`` ≤ 60: 2^pos must stay an exact long for oracle parity.
     Returns (id, simhash: long over the low ``bits`` bits)."""
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = tok.select("id", hash64(F.col("tok")).alias("h"))
-    # literal shift amounts: shiftright takes an int, so build one ±1 vote
-    # expression per bit position and explode the array (still one pass)
-    votes = h.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-                    for j in range(bits)
-                ]
-            )
-        ).alias("pos", "vote"),
-    )
-    bitsum = votes.groupBy("id", "pos").agg(F.sum("vote").alias("v"))
-    return (
-        bitsum.withColumn("bit", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("id")
-        .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pos")).cast("long")).alias("simhash"))
-    )
+    vote = lambda j: F.when(  # noqa: E731
+        F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    sums = h.groupBy("id").agg(*[F.sum(vote(j)).alias(f"_v{j}") for j in range(bits)])
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"_v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.alias("simhash"))
 
 
 def simhash_pandas(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) -> DataFrame:
