@@ -333,6 +333,103 @@ def _open_table(spark: SparkSession, cfg: dict[str, Any]):
     )
 
 
+def _run_streaming_catalog(spark: SparkSession, cfg: dict[str, Any], catalog) -> dict[str, Any]:
+    """Continuous multi-stream sync from config: ONE Structured Streaming
+    query demuxes the raw artifact into every selected stream's lake table
+    (ingest/streaming.py:stream_multi — per-stream epoch fences, so a crash
+    between two streams' merges of one micro-batch replays exactly-once).
+    ``batch_wait_limit_seconds`` → processingTime trigger (the long-running
+    tail; caller owns the returned query id); absent → bounded availableNow
+    run, awaited here. The reference analog: a tap continuously feeding a
+    multi-stream target (targets/AbstractPythonTarget.java:72-90)."""
+    from pyspark.sql import types as T
+
+    from plugin_singer_spark.ingest.streaming import stream_multi
+    from plugin_singer_spark.lake.table import LakeTable
+    from plugin_singer_spark.operators.streammap import ALIAS_KEY
+    from plugin_singer_spark.schema import TypeOptions
+
+    src = cfg["source"]
+    root = cfg["tables_root"]
+    if cfg.get("sink"):
+        raise ValueError("streaming catalog jobs write lake tables only (no file sink tee)")
+    topts = TypeOptions(**cfg["type_options"]) if cfg.get("type_options") else None
+    prefix = cfg.get("table_prefix", "")
+    table_paths = cfg.get("table_paths") or {}
+    stream_maps = cfg.get("stream_maps") or {}
+    checkpoint_id = cfg.get("checkpoint_id", "catalog")
+    mode = cfg.get("write_mode", "mor")
+
+    tables: dict[str, LakeTable] = {}
+    schemas: dict[str, T.StructType] = {}
+    transforms: dict[str, Any] = {}
+    aliases: dict[str, str] = {}
+    for s in catalog.selected():
+        struct = s.spark_schema(topts)
+        cols = list(dict.fromkeys(s.key_properties + s.selected_properties()))
+        struct = T.StructType([f for f in struct.fields if f.name in cols])
+        schemas[s.stream] = T.StructType(
+            list(struct.fields) + [T.StructField("op", T.StringType())]
+        )
+        smap = stream_maps.get(s.stream)
+        t = _build_transform(cfg, cfg.get("quarantine_path"), stream_map=smap) if smap is not None \
+            else _build_transform(cfg, cfg.get("quarantine_path"))
+        alias = ((smap or cfg.get("stream_map") or {}).get(ALIAS_KEY)) or s.stream
+        aliases[s.stream] = alias
+        tpath = table_paths.get(s.stream) or os.path.join(root, f"{prefix}{alias}")
+        keys = s.key_properties or [f.name for f in struct.fields]
+        tables[s.stream] = (
+            LakeTable(spark, tpath)
+            if LakeTable.exists(tpath)
+            else LakeTable.create(
+                spark, tpath, struct, keys, num_buckets=int(cfg.get("num_buckets", 8))
+            )
+        )
+        from pyspark.sql import functions as F
+
+        def _with_op(df: DataFrame, _t=t) -> DataFrame:
+            out = df.withColumn("op", F.coalesce(F.col("op"), F.lit("U")))
+            return _t(out) if _t is not None else out
+
+        transforms[s.stream] = _with_op
+
+    before = {
+        name: int(t.snapshot().properties.get("total_source_rows", 0))
+        for name, t in tables.items()
+    }
+    wait = cfg.get("batch_wait_limit_seconds")
+    q = stream_multi(
+        spark,
+        tables,
+        schemas,
+        src["path"],
+        cfg.get("stream_checkpoint_dir") or os.path.join(root, "_stream_ckpt"),
+        checkpoint_id=checkpoint_id,
+        max_files_per_trigger=int(src.get("files_per_batch", 4)),
+        available_now=wait is None,
+        processing_time=(f"{int(wait)} seconds" if wait is not None else None),
+        transforms=transforms,
+        mode=mode,
+    )
+    out: dict[str, Any] = {"streaming": True, "streams": {}}
+    if wait is None:
+        q.awaitTermination()
+        from plugin_singer_spark.lake.merge import compact
+
+        for name, t in tables.items():
+            if mode == "mor":
+                compact(t, min_delta_files=1)  # read-optimized + exact footer stats
+            out["streams"][aliases[name]] = {
+                "events": int(t.snapshot().properties.get("total_source_rows", 0))
+                - before[name],
+                "final_rows": _final_rows(t),
+                "table": t.root,
+            }
+    else:
+        out["query_id"] = str(q.id)  # caller owns the long-running query
+    return out
+
+
 def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     """Multi-stream catalog-driven sync — the reference's catalog.json path.
 
@@ -417,6 +514,8 @@ def run_catalog_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     sink = cfg.get("sink")
     if root is None and sink is None:
         raise ValueError("catalog job needs tables_root and/or sink")
+    if cfg.get("streaming"):
+        return _run_streaming_catalog(spark, cfg, catalog)
     mode = cfg.get("write_mode", "mor")
     checkpoint_id = cfg.get("checkpoint_id", "catalog")
     epoch = int(cfg.get("epoch", 0))

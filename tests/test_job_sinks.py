@@ -392,3 +392,37 @@ def test_sink_compression_and_partitioning(spark, tmp_path, raw_two_streams):
             raw_two_streams, tmp_path,
             sink={"format": "jsonl", "path": str(tmp_path / "bad"), "codec": "snappy"},
         ))
+
+
+def test_streaming_catalog_job(spark, tmp_path, raw_two_streams):
+    """`streaming: true` on a catalog job: ONE Structured Streaming query
+    demuxes the raw artifact into every selected stream's lake table with
+    per-stream epoch fences (ingest/streaming.py:stream_multi); an
+    availableNow rerun over the unchanged artifact syncs nothing, and new
+    files arriving later sync incrementally through the same checkpoint."""
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    os.rename(raw_two_streams, src_dir / "raw-000.jsonl")
+    cfg = _catalog_cfg(src_dir, tmp_path, streaming=True,
+                       tables_root=str(tmp_path / "slake"))
+    cfg["source"]["path"] = str(src_dir)
+    out = run_job(spark, cfg)
+    assert out["streaming"] is True
+    assert out["streams"]["category"]["events"] == 8
+    assert out["streams"]["region"]["events"] == 4
+    assert out["streams"]["category"]["final_rows"] == 8
+
+    # rerun, unchanged artifact: Spark's checkpoint sees no new files
+    out2 = run_job(spark, cfg)
+    assert out2["streams"]["category"]["events"] == 0
+    assert out2["streams"]["region"]["final_rows"] == 4
+
+    # growth: one more category record in a NEW file syncs alone
+    (src_dir / "raw-001.jsonl").write_text(
+        "\n".join(_singer_lines("category", [{"categoryid": 99, "categoryname": "late"}],
+                                start_seq=500)) + "\n"
+    )
+    out3 = run_job(spark, cfg)
+    assert out3["streams"]["category"]["events"] == 1
+    assert out3["streams"]["category"]["final_rows"] == 9
+    assert out3["streams"]["region"]["events"] == 0
