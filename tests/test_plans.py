@@ -132,3 +132,26 @@ def test_retrieval_query_plan_shapes(spark):
 
     plan = plan_of(e.queries()["quality_topk"](spark, sf))
     assert plan.count("Exchange") == 1 and "BatchEvalPython" not in plan
+
+
+def test_minhash_simhash_single_shuffle_partial_agg(spark):
+    """The MinHash signature and SimHash fingerprint plans carry exactly ONE
+    exchange each, preceded by map-side partial aggregation (partial_min /
+    partial_sum over the un-exploded rows) — the shape that keeps both
+    linear at 100 TB. A reintroduced posexplode would double the exchanges
+    and inflate the shuffle K-fold."""
+    from pyspark.sql import Row
+
+    from plugin_singer_spark.operators.dedup import minhash_signatures, simhash
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta") for i in range(10)]
+    )
+
+    p1 = plan_of(minhash_signatures(docs, "doc_id", num_hashes=8))
+    assert p1.count("Exchange") == 1, p1
+    assert "partial_min" in p1
+
+    p2 = plan_of(simhash(docs, "doc_id", bits=16))
+    assert p2.count("Exchange") == 1, p2
+    assert "partial_sum" in p2
