@@ -45,15 +45,14 @@ LONG_DIGITS_RE = "[0-9]{7,}"
 
 def ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams WITH multiplicity (word_shingles minus the distinct) —
-    the unit for repetition scoring and decontamination overlap. Zero-token
-    documents yield an EMPTY array, not a single '' gram (ADVICE r3: the
-    degenerate gram made every empty doc "overlap" every other empty doc)."""
-    t = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
-    return F.when(F.size(t) > 0, grams).otherwise(F.array().cast("array<string>"))
+    the unit for repetition scoring and decontamination overlap. Built via
+    shifted zip_with views (operators/text.py:gram_array — no per-position
+    re-tokenization). Zero-token documents yield an EMPTY array, not a
+    single '' gram (ADVICE r3: the degenerate gram made every empty doc
+    "overlap" every other empty doc)."""
+    from plugin_singer_spark.operators.text import gram_array
+
+    return gram_array(tokens(col), n)
 
 
 def decontaminate(

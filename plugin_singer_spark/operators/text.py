@@ -62,21 +62,39 @@ def token_count_bpe(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
+def gram_array(t: Column, n: int) -> Column:
+    """Word n-grams (with multiplicity, position order) from a token-array
+    expression, built by zipping ``n`` shifted views of the array.
+
+    The obvious ``transform(sequence(...), i -> concat_ws(slice(t, i+1, n)))``
+    form re-evaluates the WHOLE token expression once per gram position —
+    Catalyst inlines ``t`` into every lambda-bound slice, so a d-token doc
+    re-tokenizes itself d times (measured 16× the tokenize cost at sf0.1).
+    Zipping n shifted slices references ``t`` O(n) times total.
+
+    Semantics (shared with every shingle oracle): size ≥ n → size-n+1 full
+    grams; 0 < size < n → ONE partial gram of all tokens; size = 0 → empty
+    array (ADVICE r3 — no degenerate '' gram)."""
+    L = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    g = F.slice(t, 1, L)
+    for k in range(1, n):
+        g = F.zip_with(g, F.slice(t, k + 1, L), lambda a, b: F.concat(a, F.lit(" "), b))
+    return (
+        F.when(F.size(t) >= n, g)
+        .when(F.size(t) > 0, F.array(F.concat_ws(" ", t)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams — the dedup shingling unit. Built from the
-    token array with sequence+transform (no UDF). Zero-token documents
-    yield an EMPTY array (not a single empty-string gram) so empty docs
-    never collide with each other through a degenerate '' shingle — and so
-    the Spark side matches the DuckDB oracle's shingle CTE, which filters
+    token array with shifted zip_with views (no UDF, no per-position
+    re-tokenization — see :func:`gram_array`). Zero-token documents yield
+    an EMPTY array (not a single empty-string gram) so empty docs never
+    collide with each other through a degenerate '' shingle — and so the
+    Spark side matches the DuckDB oracle's shingle CTE, which filters
     ``len(toks) > 0`` (ADVICE r3)."""
-    t = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
-    return F.array_distinct(
-        F.when(F.size(t) > 0, grams).otherwise(F.array().cast("array<string>"))
-    )
+    return F.array_distinct(gram_array(tokens(col), n))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
