@@ -76,12 +76,19 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, vec_id, cos_sim, rank).
     Ties broken by corpus id (deterministic)."""
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
+    # norms ride each side ONCE per vector (a vector appears in |Q| or |C|
+    # candidate pairs — recomputing its dim-fold norm per pair tripled the
+    # hot-loop array passes); the pair then pays one dot fold + a divide
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
+    ).withColumn("_qn", norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -186,18 +193,25 @@ def lsh_topk(
         n = corpus_count if corpus_count is not None else corpus.count()
         planes = auto_planes(n, target_bucket)
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
-    c = c.withColumn("bucket", F.explode(lsh_bucket_col(c, "_cv", dim, planes, tables)))
+    c = c.withColumn("_cn", norm(F.col("_cv"))).withColumn(
+        "bucket", F.explode(lsh_bucket_col(c, "_cv", dim, planes, tables))
+    )
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
-    q = q.withColumn(
+    q = q.withColumn("_qn", norm(F.col("_qv"))).withColumn(
         "bucket", F.explode(lsh_bucket_col(q, "_qv", dim, planes, tables, multiprobe=multiprobe))
     )
     # dedup (query, candidate) BEFORE the cosine: a pair colliding in k
     # tables/probes would otherwise pay the dim-wide fold k times; the
-    # dedup shuffle carries the vectors so no join-back is needed
+    # dedup shuffle carries the vectors (and their pre-join norms — one
+    # norm fold per VECTOR, not per pair) so no join-back is needed
     scored = (
         q.join(c, on="bucket")
         .dropDuplicates(["query_id", "vec_id"])
-        .select("query_id", "vec_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -315,13 +329,21 @@ def ivf_topk(
     :func:`brute_force_topk`; recall measured in tests."""
     cents = ivf_centroids(corpus, dim, nlist=nlist, iters=iters, corpus_id=corpus_id, corpus_vec=corpus_vec)
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
-    c = c.withColumn("cluster", ivf_assign_col(c, "_cv", cents, nprobe=1)[0])
+    c = c.withColumn("_cn", norm(F.col("_cv"))).withColumn(
+        "cluster", ivf_assign_col(c, "_cv", cents, nprobe=1)[0]
+    )
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv"))
-    q = q.withColumn("cluster", F.explode(ivf_assign_col(q, "_qv", cents, nprobe=nprobe)))
+    q = q.withColumn("_qn", norm(F.col("_qv"))).withColumn(
+        "cluster", F.explode(ivf_assign_col(q, "_qv", cents, nprobe=nprobe))
+    )
     scored = (
         q.join(c, on="cluster")
         .dropDuplicates(["query_id", "vec_id"])
-        .select("query_id", "vec_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -375,11 +397,14 @@ def embedding_neardup_pairs(
         planes = auto_planes(n, target_bucket)
     from plugin_singer_spark.operators.stagecache import persist_stage
 
-    vb = v.withColumn("bucket", F.explode(lsh_bucket_col(v, "v", dim, planes, tables)))
+    vb = v.withColumn("_n", norm(F.col("v"))).withColumn(
+        "bucket", F.explode(lsh_bucket_col(v, "v", dim, planes, tables))
+    )
     # one materialization feeds BOTH self-join sides (r2: vb recomputed per
-    # side = 2 full matmul+explode passes); MEMORY_AND_DISK so pressure
-    # evicts rather than OOMs — the caller's action populates and reuses
-    # it, then releases via stagecache.release_stage_caches()/stage_scope()
+    # side = 2 full matmul+explode passes) and bakes the per-VECTOR norm in
+    # (pairs only pay the dot fold); MEMORY_AND_DISK so pressure evicts
+    # rather than OOMs — the caller's action populates and reuses it, then
+    # releases via stagecache.release_stage_caches()/stage_scope()
     vb = persist_stage(vb)
     a, b = vb.alias("a"), vb.alias("b")
     # dedup candidate pairs BEFORE the cosine (a pair colliding in k
@@ -393,12 +418,16 @@ def embedding_neardup_pairs(
             F.col("b.id").alias("id_b"),
             F.col("a.v").alias("_va"),
             F.col("b.v").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
         pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
