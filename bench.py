@@ -172,8 +172,11 @@ def main() -> None:
     # quiet-window gate before the TIMED replay (BENCH_WAIT_QUIET=0 skips;
     # bounded so a busy machine still produces a number — with its steal%
     # stamped below so the reader can tell a burst from a regression)
+    # default max wait kept modest: the driver invokes bench.py under its
+    # own deadline — a long gate wait must never cost the round its BENCH
+    # artifact (the steal stamp below tells the story if a burst wins)
     if os.environ.get("BENCH_WAIT_QUIET", "1") == "1":
-        waited = wait_quiet(int(os.environ.get("BENCH_QUIET_MAX_WAIT", "600")))
+        waited = wait_quiet(int(os.environ.get("BENCH_QUIET_MAX_WAIT", "240")))
         if waited:
             print(f"(waited {waited:.0f}s for a quiet co-tenant window)", file=sys.stderr)
     cpu_pre = _cpu_sample()
