@@ -3,11 +3,38 @@ the ExchangeRateHost tap semantics — fixed single stream, STATE-only
 feature set, bookmark resume — driven end-to-end through job.json
 (reference contract test/.../ExchangeRateHostTest.java:43-50)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
 from plugin_singer_spark.job import run_job
 from plugin_singer_spark.lake.table import LakeTable
+
+
+def make_marker_repo_fetch(marker_dir: str):
+    """Fetch stand-in that records every invocation as a marker file
+    (visible across local-mode Python worker processes) and delegates to
+    the deterministic fake feed. A closure, so cloudpickle ships it by
+    value — the same rule a user's injected fetch callable lives under."""
+
+    def fetch(repos, since, until):
+        from plugin_singer_spark.sources.http_api import fake_repo_events_fetch
+
+        open(os.path.join(marker_dir, f"fetch_{since}_{until}_{os.getpid()}"), "w").close()
+        return fake_repo_events_fetch(repos, since, until)
+
+    return fetch
+
+
+def make_marker_rates_fetch(marker_dir: str):
+    def fetch(base, dates, currencies):
+        from plugin_singer_spark.sources.http_api import fake_rates_fetch
+
+        open(os.path.join(marker_dir, f"fetch_{dates[0]}_{len(dates)}_{os.getpid()}"), "w").close()
+        return fake_rates_fetch(base, dates, currencies)
+
+    return fetch
 
 
 def _cfg(tmp_path, **src_extra):
@@ -87,6 +114,87 @@ def test_registered_reader_name(spark):
         spark, {"dates": ["2024-02-01", "2024-02-02"], "currencies": ["eur"], "fetch": fetch}
     )
     assert df.count() == 2 and calls == [("usd", ("2024-02-01", "2024-02-02"), ("eur",))]
+
+
+def test_repo_events_distributed_paged_fetch(spark, tmp_path):
+    """fetch_mode=distributed splits the seq window into page ranges and
+    calls fetch INSIDE mapInPandas — ≥2 distinct per-page invocations on a
+    multi-page window (marker files written by executor workers), and the
+    rows are identical to the driver-side path (VERDICT r4 next #1)."""
+    from plugin_singer_spark.sources.http_api import repo_events_reader
+
+    markers = tmp_path / "markers"
+    markers.mkdir()
+    cfg = {
+        "repos": ["org-a", "org-b"],
+        "since_seq": 0,
+        "until_seq": 1000,
+        "page_size": 250,
+        "fetch": make_marker_repo_fetch(str(markers)),
+    }
+    dist = repo_events_reader(spark, dict(cfg, fetch_mode="distributed"))
+    got = sorted(tuple(r) for r in dist.collect())
+    calls = os.listdir(markers)
+    assert len(calls) == 4  # one fetch per 250-seq page
+    # each invocation covers exactly its page range, nothing overlapping
+    ranges = sorted(tuple(map(int, c.split("_")[1:3])) for c in calls)
+    assert ranges == [(0, 250), (250, 500), (500, 750), (750, 1000)]
+
+    driver = repo_events_reader(spark, dict(cfg, fetch_mode="driver", fetch=None))
+    assert got == sorted(tuple(r) for r in driver.collect())
+    assert dist.schema == driver.schema
+
+
+def test_exchange_rate_distributed_matches_driver(spark, tmp_path):
+    """Same parity for the rates source: auto mode pages a >page_days
+    window through executors; rows/schema identical to driver mode."""
+    from plugin_singer_spark.sources.http_api import exchange_rate_reader
+
+    markers = tmp_path / "markers"
+    markers.mkdir()
+    cfg = {
+        "base": "usd",
+        "start_date": "2024-01-01",
+        "end_date": "2024-03-10",  # 70 days
+        "currencies": ["eur", "gbp"],
+        "page_days": 20,
+    }
+    dist = exchange_rate_reader(spark, dict(cfg, fetch=make_marker_rates_fetch(str(markers))))
+    got = sorted(tuple(r) for r in dist.collect())
+    assert len(os.listdir(markers)) == 4  # ceil(70/20) pages, auto → distributed
+    driver = exchange_rate_reader(spark, dict(cfg, fetch_mode="driver"))
+    assert got == sorted(tuple(r) for r in driver.collect())
+    assert dist.schema == driver.schema
+
+
+def test_github_e2e_distributed_mode_same_final_state(spark, tmp_path):
+    """The LOG_BASED e2e (fenced chunked MERGE) lands the identical final
+    state whether the source fetched driver-side or page-distributed."""
+    def cfg(root, mode):
+        return {
+            "table": {
+                "path": str(tmp_path / root),
+                "keys": ["repo", "path"],
+                "num_buckets": 2,
+                "columns": {"repo": "string", "path": "string", "commit": "string",
+                            "lang": "string", "content": "string"},
+            },
+            "source": {"format": "generic", "reader": "github", "stream": "repos",
+                       "repos": ["org-a", "org-b"], "since_seq": 0, "until_seq": 1000,
+                       "batch_events": 400, "fetch_mode": mode, "page_size": 300},
+            "replication_method": "LOG_BASED",
+            "write_mode": "mor",
+            "checkpoint_id": f"gh-{root}",
+        }
+
+    out_d = run_job(spark, cfg("gh_driver", "driver"))
+    out_x = run_job(spark, cfg("gh_dist", "distributed"))
+    assert out_d["events"] == out_x["events"] == 1000
+    rows = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in LakeTable(spark, str(tmp_path / p)).read()
+        .select("repo", "path", "commit", "lang", "content").collect()
+    )
+    assert rows("gh_driver") == rows("gh_dist")
 
 
 def test_github_like_cdc_source_fenced_merge(spark, tmp_path):
