@@ -145,8 +145,6 @@ def main() -> None:
     table_stage = os.environ.get("BENCH_TABLE_DIR") or (
         "/dev/shm" if os.path.isdir("/dev/shm") else None
     )
-    root = tempfile.mkdtemp(prefix="bench_table_", dir=table_stage)
-    table = LakeTable.create(spark, os.path.join(root, "repos"), schema, ["repo", "path"], num_buckets=num_buckets)
 
     files_per_batch = max(1, 64 * batch_events // max(events, 1))
 
@@ -175,27 +173,56 @@ def main() -> None:
     # default max wait kept modest: the driver invokes bench.py under its
     # own deadline — a long gate wait must never cost the round its BENCH
     # artifact (the steal stamp below tells the story if a burst wins)
-    if os.environ.get("BENCH_WAIT_QUIET", "1") == "1":
-        waited = wait_quiet(int(os.environ.get("BENCH_QUIET_MAX_WAIT", "240")))
-        if waited:
-            print(f"(waited {waited:.0f}s for a quiet co-tenant window)", file=sys.stderr)
-    cpu_pre = _cpu_sample()
-    t0 = time.time()
-    stats = replay_files(
-        spark,
-        table,
-        jsonl_dir,
-        files_per_batch=files_per_batch,
-        checkpoint_id="bench",
-        input_format="jsonl",
-        record_schema=record_schema,
-        mode=mode,
-        compact_every=8 if mode == "mor" else None,
-        final_compact=(mode == "mor"),  # compaction cost counted in the replay
-        **({"dedup": dedup} if mode == "mor" else {}),
-    )
-    replay_sec = time.time() - t0
-    replay_steal_pct, replay_sys_pct = _steal_sys_pct(cpu_pre, _cpu_sample())
+    def run_attempt(attempt_id: str):
+        if os.environ.get("BENCH_WAIT_QUIET", "1") == "1":
+            waited = wait_quiet(int(os.environ.get("BENCH_QUIET_MAX_WAIT", "240")))
+            if waited:
+                print(f"(waited {waited:.0f}s for a quiet co-tenant window)", file=sys.stderr)
+        aroot = tempfile.mkdtemp(prefix=f"bench_table_{attempt_id}_", dir=table_stage)
+        atable = LakeTable.create(
+            spark, os.path.join(aroot, "repos"), schema, ["repo", "path"], num_buckets=num_buckets
+        )
+        cpu_pre = _cpu_sample()
+        t0 = time.time()
+        astats = replay_files(
+            spark,
+            atable,
+            jsonl_dir,
+            files_per_batch=files_per_batch,
+            checkpoint_id=attempt_id,
+            input_format="jsonl",
+            record_schema=record_schema,
+            mode=mode,
+            compact_every=8 if mode == "mor" else None,
+            final_compact=(mode == "mor"),  # compaction cost counted in the replay
+            **({"dedup": dedup} if mode == "mor" else {}),
+        )
+        sec = time.time() - t0
+        steal, sys_pct = _steal_sys_pct(cpu_pre, _cpu_sample())
+        return {"stats": astats, "sec": sec, "steal": steal, "sys": sys_pct,
+                "table": atable, "root": aroot}
+
+    # bounded retry-on-steal (VERDICT r4 #3): a single re-run when the
+    # hypervisor stole more than BENCH_STEAL_RETRY_PCT% of the timed window
+    # — the r3/r4 driver artifacts undersold the engine 2× purely because
+    # a co-tenant burst landed inside the measurement. BOTH attempts'
+    # stamps are recorded; the lower-steal one becomes the headline (an
+    # honest fallback: two high-steal stamps tell the burst-won story).
+    attempts = [run_attempt("bench")]
+    retry_pct = float(os.environ.get("BENCH_STEAL_RETRY_PCT", "3"))
+    if attempts[0]["steal"] > retry_pct and os.environ.get("BENCH_STEAL_RETRY", "1") == "1":
+        print(
+            f"(replay saw {attempts[0]['steal']}% steal > {retry_pct}% — one bounded retry)",
+            file=sys.stderr,
+        )
+        attempts.append(run_attempt("bench_retry"))
+    chosen = min(attempts, key=lambda a: a["steal"])
+    for a in attempts:
+        if a is not chosen:
+            shutil.rmtree(a["root"], ignore_errors=True)
+    stats, replay_sec = chosen["stats"], chosen["sec"]
+    replay_steal_pct, replay_sys_pct = chosen["steal"], chosen["sys"]
+    table, root = chosen["table"], chosen["root"]
     timings["cdc_replay"] = round(replay_sec, 3)
     timings["final_compact"] = stats.final_compact_sec
     events_per_sec = stats.events / replay_sec if replay_sec > 0 else 0.0
@@ -276,6 +303,22 @@ def main() -> None:
                 # stamp (a high-steal run is a burst, not a regression)
                 "replay_steal_pct": replay_steal_pct,
                 "replay_sys_pct": replay_sys_pct,
+                # every attempt's stamp (bounded retry-on-steal): readers see
+                # whether the headline is a clean window or the best of two
+                # stolen ones
+                "replay_attempts": [
+                    {
+                        "steal_pct": a["steal"],
+                        "sys_pct": a["sys"],
+                        "wall_sec": round(a["sec"], 3),
+                        "amortized_events_per_sec": round(
+                            a["stats"].events
+                            / max(sum(a["stats"].epoch_secs) + a["stats"].final_compact_sec, 1e-9),
+                            1,
+                        ),
+                    }
+                    for a in attempts
+                ],
                 "replay": {
                     "mode": mode,
                     "events": stats.events,
