@@ -257,6 +257,45 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert glob.glob(ck + "/*/rdd-*"), "no reliable checkpoint written"
 
 
+def _drop_all_persistent_rdd_blocks(spark):
+    """Simulated executor loss (VERDICT r4 next #6): unpersist every
+    persistent RDD via the JVM — for a localCheckpoint'd RDD this destroys
+    the ONLY copy of its data (lineage was truncated at checkpoint time),
+    which is exactly what losing the executor holding those blocks does.
+    Reliably-checkpointed RDDs keep their files on (distributed) storage."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist()
+
+
+def test_connected_components_block_loss_reliable_vs_local(spark, tmp_path):
+    """Executor-loss drill: after dropping every cached block, the
+    reliable-checkpoint result is still computable (recovers from
+    checkpoint FILES), while the localCheckpoint fast path loses its data
+    — documenting exactly the failure mode checkpoint_dir exists to close
+    (operators/corpus.py connected_components docstring)."""
+    from plugin_singer_spark.operators.stagecache import release_stage_caches
+
+    release_stage_caches()
+    spark.catalog.clearCache()
+    edges = [Row(id_a=i, id_b=i + 1) for i in range(24)] + [Row(id_a=200, id_b=201)]
+
+    # reliable path: lineage bottoms out in checkpoint files under ck
+    pairs = spark.createDataFrame(edges)
+    ck = str(tmp_path / "cc_ckpt_loss")
+    reliable = cp.connected_components(pairs, checkpoint_dir=ck)
+    _drop_all_persistent_rdd_blocks(spark)  # "executor died"
+    out = {r.id: r.cluster_id for r in reliable.collect()}  # recomputes from files
+    assert out[24] == 0 and out[201] == 200 and len(out) == 27
+
+    # local path: same loss kills the job (checkpoint blocks are gone and
+    # the lineage needed to rebuild them was truncated)
+    local = cp.connected_components(spark.createDataFrame(edges))
+    _drop_all_persistent_rdd_blocks(spark)
+    with pytest.raises(Exception, match="(?i)checkpoint|block"):
+        local.collect()
+
+
 def test_connected_components_warns_without_convergence(spark):
     """Exhausting max_iterations warns and still returns a FUNCTIONAL
     mapping (one row per node, min-aggregated) — ADVICE r3."""
