@@ -47,6 +47,24 @@ class ReplayStats:
     final_compact_sec: float = 0.0
 
 
+def _rotation_shard(table, rotate: int | None, wave_idx: int) -> list[int] | None:
+    """Staggered-compaction shard: wave i compacts only buckets with
+    ``b % rotate == i % rotate`` (None = every bucket, the full profile).
+
+    Each periodic compaction wave rewrites the base of every bucket it
+    touches, so the full profile's wave cost grows O(table) as the base
+    grows — fine amortized, but the wave itself becomes the replay's
+    longest pause. Rotating shards caps each wave at ~1/rotate of the
+    table (flat cost curve) at the price of buckets carrying up to
+    ``compact_every×rotate`` deltas between their turns — the standard
+    staggered/partial-compaction trade (Paimon's num-sorted-run triggers,
+    Hudi's inline-compaction scheduling)."""
+    if not rotate or rotate <= 1:
+        return None
+    n = table.snapshot().num_buckets
+    return [b for b in range(n) if b % rotate == wave_idx % rotate]
+
+
 def replay_chunked(
     table: LakeTable,
     binlog: DataFrame,
@@ -60,6 +78,7 @@ def replay_chunked(
     mode: str = "cow",
     compact_every: int | None = None,
     final_compact: bool = False,
+    compact_rotate: int | None = None,
     **merge_kwargs: Any,
 ) -> ReplayStats:
     """Replay the binlog in fixed seq-range micro-batches with epoch fencing.
@@ -130,7 +149,9 @@ def replay_chunked(
             on_batch(rep)
         epoch += 1
         if mode == "mor" and compact_every and (epoch - start_epoch) % compact_every == 0:
-            compact(table, min_delta_files=max(1, compact_every))
+            compact(table, min_delta_files=max(1, compact_every),
+                    buckets=_rotation_shard(table, compact_rotate,
+                                            (epoch - start_epoch) // compact_every))
         stats.epoch_secs.append(round(_time.time() - _t0, 3))
     if mode == "mor" and final_compact:
         _t0 = _time.time()
@@ -151,6 +172,7 @@ def replay_files(
     mode: str = "mor",
     compact_every: int | None = None,
     final_compact: bool = True,
+    compact_rotate: int | None = None,
     resume: bool = True,
     max_batches: int | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
@@ -315,7 +337,9 @@ def replay_files(
 
             activate_version(table, below_seq=max(activations))
         if mode == "mor" and compact_every and (epoch + 1) % compact_every == 0:
-            compact(table, min_delta_files=max(1, compact_every))
+            compact(table, min_delta_files=max(1, compact_every),
+                    buckets=_rotation_shard(table, compact_rotate,
+                                            (epoch + 1) // compact_every))
         stats.epoch_secs.append(round(_time.time() - _t0, 3))
     if mode == "mor" and final_compact:
         _t0 = _time.time()

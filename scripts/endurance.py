@@ -8,7 +8,12 @@ Prints ONE JSON line:
   stats per commit, final table stats.
 
 Usage:  BENCH_BINLOG_DIR=/dev/shm/endurance python scripts/endurance.py \
-            [events=8000000] [epochs=32] [cpus=8] [compact_every=8]
+            [events=8000000] [epochs=32] [cpus=8] [compact_every=8] [rotate=0]
+
+``rotate=N`` switches periodic compaction to the staggered profile
+(ingest/streaming.py:_rotation_shard): each wave compacts only the 1/N
+bucket shard whose turn it is — flat wave cost instead of O(table)
+(VERDICT r4 next #7).
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ def main() -> None:
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     compact_every = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    rotate = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     from pyspark.sql import types as T
 
@@ -93,6 +99,7 @@ def main() -> None:
         spark, table, jsonl_dir, files_per_batch=files_per_batch,
         checkpoint_id="endurance", input_format="jsonl", record_schema=record_schema,
         mode="mor", compact_every=compact_every, final_compact=True, dedup=False,
+        compact_rotate=rotate or None,
     )
     wall = time.time() - t0
 
@@ -131,6 +138,7 @@ def main() -> None:
         "epochs": stats.batches,
         "cpus": cpus,
         "compact_every": compact_every,
+        "compact_rotate": rotate,
         "wall_sec": round(wall, 1),
         "amortized_eps": round(stats.events / (sum(stats.epoch_secs) + stats.final_compact_sec), 1),
         "eps_first_half": round(eps_first, 1),
