@@ -490,11 +490,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs — the flagship 100 TB path (hyperplane
     buckets + candidate-local verify, never all-pairs; planes auto-derived
-    from corpus size, tables from the recall-floor rule). Rows-only driver
-    check; recall vs the exact variant asserted in pytest."""
+    from corpus size). Rows-only driver check; recall vs the exact variant
+    asserted in pytest.
+
+    ``tables`` is pinned at 16 here: this demo corpus needs an
+    unrealistically loose threshold (0.35) to produce pairs at all, and at
+    that design point the recall-floor rule saturates its 32-table cap
+    (cos-LSH is fundamentally expensive for low-similarity thresholds —
+    c = 1-θ/π ≈ 0.74 at the 0.675 midpoint). Real near-dup thresholds
+    (0.9+) auto-derive SMALL table counts (5 at 0.95/9 planes) with the
+    floor intact; pytest holds the ≥0.9 recall gate for this corpus with
+    the design point declared explicitly."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, exact=False)
+    return sim.embedding_neardup_pairs(emb, dim=dim, threshold=0.35, tables=16, exact=False)
 
 
 def q_stream_map(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,6 +73,8 @@ def run_level(cpus: int, events: int, binlog_dir: str) -> dict:
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         BENCH_BATCH_EVENTS=os.environ.get("BENCH_BATCH_EVENTS", str(max(events // 4, 500_000))),
         BENCH_WAIT_QUIET="0",  # this script already gates on a quiet window
+        BENCH_STEAL_RETRY="0",  # ...and handles bursts via alternating
+        # repeats + min-per-level; an in-run retry would muddy the protocol
     )
     pre = _cpu_sample()
     out = subprocess.run(

@@ -167,6 +167,24 @@ def test_exchange_rate_distributed_matches_driver(spark, tmp_path):
     assert dist.schema == driver.schema
 
 
+def test_distributed_fetch_handles_empty_pages(spark):
+    """A page whose fetch returns no rows yields nothing (a sparse feed —
+    deleted history, quiet window) without breaking the Arrow schema."""
+    from plugin_singer_spark.sources.http_api import repo_events_reader
+
+    def sparse_fetch(repos, since, until):
+        from plugin_singer_spark.sources.http_api import fake_repo_events_fetch
+
+        return [] if since >= 500 else fake_repo_events_fetch(repos, since, min(until, 500))
+
+    df = repo_events_reader(spark, {
+        "repos": ["org-a"], "since_seq": 0, "until_seq": 1000,
+        "page_size": 250, "fetch_mode": "distributed", "fetch": sparse_fetch,
+    })
+    assert df.count() == 500
+    assert df.agg({"seq": "max"}).first()[0] == 499
+
+
 def test_github_e2e_distributed_mode_same_final_state(spark, tmp_path):
     """The LOG_BASED e2e (fenced chunked MERGE) lands the identical final
     state whether the source fetched driver-side or page-distributed."""

@@ -225,6 +225,20 @@ def test_auto_lsh_params_recall_floor():
     assert m_fixed == 1
 
 
+def test_resolve_lsh_config_batch_shapes():
+    """Pinned configs at representative batch shapes: planes follow the
+    query count (cost balance) with the bucket cap as the floor; tables
+    hold the recall floor and stay in single digits at the 0.92 design
+    point (the corpus-side cost lever)."""
+    assert sim.resolve_lsh_config(2_000, 20) == (6, 4, 2)
+    assert sim.resolve_lsh_config(1_000_000, 20) == (8, 6, 2)
+    # bigger query batches push planes up, tables stay bounded
+    p, t, m = sim.resolve_lsh_config(1_000_000, 10_000)
+    assert p >= 14 and t <= 32 and m >= 2
+    # explicit values pass through untouched
+    assert sim.resolve_lsh_config(10**9, 10, planes=12, tables=9, multiprobe=1) == (12, 9, 1)
+
+
 def test_cosine_self_is_one(spark, emb):
     d = emb.limit(1).select(F.round(sim.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")).first()
     assert abs(d["c"] - 1.0) < 1e-6
