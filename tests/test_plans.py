@@ -155,3 +155,28 @@ def test_minhash_simhash_single_shuffle_partial_agg(spark):
     p2 = plan_of(simhash(docs, "doc_id", bits=16))
     assert p2.count("Exchange") == 1, p2
     assert "partial_sum" in p2
+
+
+def test_lsh_topk_score_first_no_vector_dedup_shuffle(spark):
+    """The LSH candidate pipeline scores BEFORE the pair-dedup: the
+    post-join aggregate is partial_max over a scalar score, so the pair
+    exchange carries (query, vec, score) triplets — a vector-carrying
+    dropDuplicates exchange here was the whole query cost at 1M×dim-64
+    (r5 crossover re-measure). Guard: partial_max present, and the
+    hash-aggregate on (query_id, vec_id) carries no array-typed column."""
+    from pyspark.sql import Row
+
+    from plugin_singer_spark.operators.similarity import lsh_topk
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7 + d) % 5) for d in range(8)]) for i in range(40)]
+    )
+    q = emb.limit(4).selectExpr("vec_id as query_id", "embedding")
+    plan = plan_of(lsh_topk(emb, q, dim=8, k=3, planes=4, tables=2, multiprobe=1))
+    assert "partial_max" in plan, plan
+    # the dedup aggregate keys on (query_id, vec_id) and must not carry
+    # embeddings: no aggregate expression over an array column
+    import re
+
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln or "SortAggregate" in ln]
+    assert agg_lines and not any("_qv" in ln or "_cv" in ln for ln in agg_lines), plan
