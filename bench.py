@@ -254,6 +254,7 @@ def main() -> None:
         "ann_ivf_topk",  # queries; exact variants stay pytest recall oracles
         "embedding_neardup_lsh",
         "exact_dedup",
+        "multimodal_real_decode",
         "repetition_stats",
         "dedup_clusters_lsh",
         "event_window_counts",

@@ -591,22 +591,34 @@ def embedding_neardup_pairs(
     # releases via stagecache.release_stage_caches()/stage_scope()
     vb = persist_stage(vb)
     a, b = vb.alias("a"), vb.alias("b")
-    # score bucket-local, dedup after: a pair colliding in k tables pays
-    # the dim-wide fold k times (k is small — non-dups rarely collide
-    # twice), but the dedup exchange then carries only (id_a, id_b, score)
-    # triplets instead of both dim-wide vectors (~2·dim·8 bytes/pair) —
-    # the vector-carrying dropDuplicates shuffle dominated the query at
-    # 10^5+ vectors (r5 re-measure). The threshold filter runs BEFORE the
-    # dedup shuffle, so only qualifying pairs are exchanged at all.
-    return (
+    # dedup BEFORE the cosine here — the OPPOSITE choice from lsh_topk's
+    # score-first, because the self-join's collision multiplicity is high
+    # BY DESIGN: a true near-dup pair collides in ~`tables` tables (that
+    # is what the recall floor buys), and the dim-wide dot is a
+    # higher-order-function expression (no whole-stage codegen), so paying
+    # it per collision loses more than the vector-carrying dedup shuffle
+    # costs (measured 2× either way at sf0.1: dedup-first 3.7s vs
+    # score-first 7.4s on 1.07M collisions → 3.3k unique qualifying
+    # pairs). lsh_topk keeps score-first because its query-side
+    # multiplicity is ~1 (random bucket neighbors collide once).
+    pairs = (
         a.join(b, on="bucket")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n")), 6).alias("cos_sim"),
+            F.col("a.v").alias("_va"),
+            F.col("b.v").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("cos_sim").alias("cos_sim"))  # duplicates score identically
     )
