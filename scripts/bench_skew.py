@@ -305,7 +305,7 @@ map-side combine. Reproduce: `python scripts/bench_skew.py {events}
 {hot_paths}` (raw JSON in BENCH/skew_lww.json).""",
     )
     for t in tables.values():
-        shutil.rmtree(os.path.dirname(t.path) if hasattr(t, "path") else "", ignore_errors=True)
+        shutil.rmtree(os.path.dirname(t.root), ignore_errors=True)
 
 
 if __name__ == "__main__":
