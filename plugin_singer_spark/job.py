@@ -33,6 +33,9 @@ Job config (JSON)::
                                              #  (PipelinewiseSnowflake.java:300-304;
                                              #   absent ⇒ bounded availableNow run)
       "compact_every": 8,                    # MOR compaction cadence (batch replay)
+      "compact_rotate": 4,                   # staggered profile: each wave folds
+                                             #  only its 1/N bucket shard (flat
+                                             #  wave cost; 0/absent = full)
       "validate": {...stream JSON-Schema...},      # optional (P15)
       "invalid_records_detect": true,              # DatamillCoPostgres.java:148
       "invalid_records_threshold": 0,
@@ -823,6 +826,7 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
                 record_schema=record_schema,
                 mode=mode,
                 compact_every=cfg.get("compact_every"),
+                compact_rotate=cfg.get("compact_rotate"),
                 transform=transform,
                 archive_dir=archive_dir,
             )
@@ -838,6 +842,8 @@ def run_job(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
             stream=stream,
             checkpoint_id=checkpoint_id,
             mode=mode,
+            compact_every=cfg.get("compact_every"),
+            compact_rotate=cfg.get("compact_rotate"),
             final_compact=(mode == "mor"),
             transform=transform,
         )

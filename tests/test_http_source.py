@@ -187,9 +187,14 @@ def test_distributed_fetch_handles_empty_pages(spark):
 
 def test_github_e2e_distributed_mode_same_final_state(spark, tmp_path):
     """The LOG_BASED e2e (fenced chunked MERGE) lands the identical final
-    state whether the source fetched driver-side or page-distributed."""
+    state whether the source fetched driver-side or page-distributed —
+    and the distributed run additionally uses the staggered compaction
+    profile (compact_rotate through job.json), so logical state is also
+    invariant to the physical compaction schedule."""
     def cfg(root, mode):
+        extra = {"compact_every": 1, "compact_rotate": 2} if mode == "distributed" else {}
         return {
+            **extra,
             "table": {
                 "path": str(tmp_path / root),
                 "keys": ["repo", "path"],
