@@ -649,36 +649,48 @@ def embedding_neardup_pairs(
         )
     from plugin_singer_spark.operators.stagecache import persist_stage
 
-    vb = v.withColumn("_n", norm(F.col("v"))).withColumn(
-        "bucket", F.explode(lsh_bucket_col(v, "v", dim, planes, tables))
+    # candidate evaluation = dedup-then-GATHER: the self-join's collision
+    # multiplicity is high BY DESIGN (a true near-dup pair collides in
+    # ~`tables` tables; that is what the recall floor buys), so neither
+    # one-pass shape survives both regimes (r5 A/B, pinned 16-table query):
+    # scoring every collision pays the dim-wide fold ×multiplicity (2×
+    # slower at 1× sf0.1), while dropDuplicates over vector-carrying rows
+    # shuffles 2·dim·8 bytes per collision (8× slower at 10× corpus).
+    # Instead the bucketed table carries BARE (id, bucket) rows — the
+    # skew-amplified self-join exchange moves 16-byte rows, no vectors —
+    # then: (1) distinct on (id_a, id_b), partial-agg combining the
+    # ~`tables` duplicates map-side; (2) join each side back to the
+    # persisted (id, v, _n) base — vectors move ONCE per unique candidate,
+    # never per collision; (3) score each unique pair exactly once.
+    # Wins or ties every measured regime (BENCH/COSINE_KERNEL_AB.md).
+    # Scoring expression = the HOF fold (Arrow kernel and unrolled chain
+    # measured and rejected, see pair_cosine_kernel / dot_unrolled).
+    # Both stages persist MEMORY_AND_DISK (pressure evicts rather than
+    # OOMs): base feeds the two gather joins, buck feeds both self-join
+    # sides (r2: recomputing per side = 2 full matmul+explode passes);
+    # caller releases via stagecache.release_stage_caches()/stage_scope().
+    base = persist_stage(v.withColumn("_n", norm(F.col("v"))))
+    buck = persist_stage(
+        base.select(
+            "id", F.explode(lsh_bucket_col(base, "v", dim, planes, tables)).alias("bucket")
+        )
     )
-    # one materialization feeds BOTH self-join sides (r2: vb recomputed per
-    # side = 2 full matmul+explode passes) and bakes the per-VECTOR norm in
-    # (pairs only pay the dot fold); MEMORY_AND_DISK so pressure evicts
-    # rather than OOMs — the caller's action populates and reuses it, then
-    # releases via stagecache.release_stage_caches()/stage_scope()
-    vb = persist_stage(vb)
-    a, b = vb.alias("a"), vb.alias("b")
-    # score bucket-local FIRST, then dedup — even though the self-join's
-    # collision multiplicity is high BY DESIGN (a true near-dup pair
-    # collides in ~`tables` tables; that is what the recall floor buys):
-    # the THRESHOLD FILTER runs before the dedup exchange, so only
-    # qualifying (id, id, score) triplets are shuffled at all, vs the old
-    # dedup-first plan shuffling both dim-wide vectors for EVERY collision
-    # (~2·dim·8 bytes/pair — the dominant cost at 10× corpus: 44.7 s →
-    # 14.1 s, BENCH/SF_SCALING.md). Scoring expression = the HOF fold;
-    # the r5 A/B also tried the Arrow kernel (ties here, loses 3.5× in
-    # lsh_topk) and an unrolled codegen chain (4.5× slower at 9M collision
-    # pairs), see pair_cosine_kernel / dot_unrolled.
-    return (
+    a, b = buck.alias("a"), buck.alias("b")
+    pairs = (
         a.join(b, on="bucket")
         .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("_va"), F.col("_n").alias("_na"))
+    vb2 = base.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(va, on="id_a")
+        .join(vb2, on="id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n")), 6).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("cos_sim").alias("cos_sim"))  # duplicates score identically
     )

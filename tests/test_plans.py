@@ -182,14 +182,14 @@ def test_lsh_topk_score_first_no_vector_dedup_shuffle(spark):
     assert agg_lines and not any("_qv" in ln or "_cv" in ln for ln in agg_lines), plan
 
 
-def test_neardup_score_first_triplet_exchange(spark):
-    """embedding_neardup_pairs scores bucket-local and filters on the
-    threshold BEFORE the pair-dedup aggregate, so the exchange carries
-    only qualifying (id_a, id_b, score) triplets — the old dedup-first
-    plan shuffled both dim-wide vectors for every collision (10× corpus:
-    44.7 s → 5.9 s, BENCH/SF_SCALING.md). Guards: partial_max over the
-    scalar score, no vector column in the aggregate, and the cos_sim
-    threshold applied below the aggregate (in the join-side filter)."""
+def test_neardup_bare_pair_dedup_then_gather(spark):
+    """embedding_neardup_pairs self-joins a BARE (id, bucket) table, dedups
+    (id_a, id_b) pairs, then gathers vectors back by id-join and scores each
+    unique pair once — vectors move O(|corpus| + |unique pairs|), never per
+    collision (10× corpus: vector-carrying dedup 44.7 s → gather 4.1 s,
+    BENCH/COSINE_KERNEL_AB.md shape ladder). Guards: the pair-dedup aggregate and
+    the bucket self-join carry no vector or norm column — only the two
+    gather joins (on id) touch arrays."""
     from pyspark.sql import Row
 
     from plugin_singer_spark.operators.similarity import embedding_neardup_pairs
@@ -201,12 +201,10 @@ def test_neardup_score_first_triplet_exchange(spark):
         emb, dim=8, threshold=0.9, planes=4, tables=2, corpus_count=40
     )
     plan = plan_of(df)
-    assert "partial_max" in plan, plan
     agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln or "SortAggregate" in ln]
-    assert agg_lines and not any(" v#" in ln or "_n#" in ln for ln in agg_lines), plan
-    # threshold filter runs pre-exchange: a Filter mentioning 0.9 exists
-    # and no Filter above the (final) aggregate re-checks it
-    assert "0.9" in plan, plan
+    assert agg_lines and not any("_va" in ln or "_vb" in ln or "_n" in ln or " v#" in ln for ln in agg_lines), plan
+    bucket_join = [ln for ln in plan.splitlines() if "bucket" in ln and ("Join" in ln or "join" in ln)]
+    assert bucket_join and not any(" v#" in ln or "_n#" in ln for ln in bucket_join), plan
     from plugin_singer_spark.operators.stagecache import release_stage_caches
 
     release_stage_caches()
