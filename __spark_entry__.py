@@ -339,6 +339,28 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained MinHash index (operators/incremental_dedup.py): fold
+    the documents table through the index in two CDC batches, return the
+    verified near-dup pairs the SECOND batch surfaces — per-batch cost is a
+    bucket join against the index, never a corpus recompute. No SQL oracle
+    (the index maintains the probabilistic banding candidates); pytest
+    gates exact set-equality with the batch operator over any split
+    (tests/test_incremental_dedup.py)."""
+    import tempfile
+
+    from plugin_singer_spark.operators.incremental_dedup import MinHashIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="mh_index_")
+    idx = MinHashIndex(spark, root, n=3, num_hashes=16, bands=8)
+    cut = 0.7 * (docs.agg(F.max("doc_id")).first()[0] or 0)
+    b1, b2 = docs.filter(F.col("doc_id") <= cut), docs.filter(F.col("doc_id") > cut)
+    idx.update(b1, seq=1)
+    idx.update(b2, seq=2)
+    return idx.neardup_pairs(b2, corpus=docs, threshold=0.2).orderBy("id_a", "id_b")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32).select(
         F.col("id").alias("doc_id"), F.col("simhash")
@@ -780,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_neardup": q_incremental_neardup,
         "simhash": q_simhash,
         "simhash_pandas": q_simhash_pandas,
         "activate_version": q_activate_version,

@@ -187,10 +187,39 @@ def minhash_lsh_pairs(
     signature table is persisted across its self-join sides — r2 re-shingled
     the corpus ≥3× per call.
     """
-    rows_per_band = num_hashes // bands
     sh_raw = _persisted(shingle_table(df, id_col, text_col, n))
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=sh_raw)
-    banded = sig.select(
+    banded = _persisted(
+        banded_buckets(df, id_col, text_col, n, num_hashes, bands, shingles=sh_raw)
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    return jaccard_verify(cand, sh_raw, threshold, max_doc_freq)
+
+
+def banded_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Bare (id, band, bucket) LSH rows: the md5 of each band's slice of the
+    MinHash signature. The shared banding primitive — minhash_lsh_pairs
+    self-joins it; the CDC-maintained index (operators/incremental_dedup.py)
+    MERGEs it into a lake table keyed (id, band). Deliberately carries no
+    signature/text payload: every downstream exchange moves ~40-byte rows."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
+    return sig.select(
         "id",
         F.posexplode(
             F.transform(
@@ -201,20 +230,21 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    banded = _persisted(banded)
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), on=["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
-    if not verify:
-        return cand
-    # hot-shingle cut applies to the verify-stage intersection join (the
-    # shingle-equality join); signatures stay unfiltered — banding is
-    # already linear and the cut would shift min-hashes
-    sh = filter_hot_shingles(sh_raw, max_doc_freq)
+
+
+def jaccard_verify(
+    cand: DataFrame,
+    sh: DataFrame,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs against an
+    (id, shingle) table: gather-join each side's shingles, count the
+    intersection via the shingle-equality fold, threshold on |∩|/|∪|.
+    The hot-shingle cut applies HERE (the intersection join is where one
+    stop-phrase shingle fans out), never to the signature stage — banding
+    is already linear and a cut would shift min-hashes."""
+    sh = filter_hot_shingles(sh, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sh_b")

@@ -20,6 +20,7 @@ def test_oracle_keys_subset():
         "ann_ivf_topk",
         "embedding_neardup_lsh",
         "dedup_clusters_lsh",  # LSH candidate graph — exact-pair variant is the oracle
+        "incremental_neardup",  # index maintains banding candidates — batch-equivalence pytest is the gate
     }
 
 

@@ -1,0 +1,119 @@
+"""CDC-maintained MinHash index (operators/incremental_dedup.py): batch
+equivalence, idempotent replay, update/delete maintenance."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from plugin_singer_spark.operators.dedup import minhash_lsh_pairs
+from plugin_singer_spark.operators.incremental_dedup import MinHashIndex
+
+PARAMS = dict(n=2, num_hashes=16, bands=8)
+
+
+def _docs(spark, lo, hi):
+    # deterministic corpus with planted near-dup structure: ids i and i+100
+    # share a long common prefix (near-dups); others are distinct
+    rows = []
+    for i in range(lo, hi):
+        base = i % 100
+        words = [f"w{base}a{j}" for j in range(12)]
+        if i >= 100:
+            words[-1] = f"tail{i}"
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+    return spark.createDataFrame(rows)
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    """Folding any batch split through the index yields exactly the batch
+    operator's candidate-pair set over the final corpus."""
+    full = _docs(spark, 0, 150)
+    expected = _pairs(minhash_lsh_pairs(full, "doc_id", verify=False, **PARAMS))
+    assert expected  # planted dups must collide
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), **PARAMS)
+    got = set()
+    for lo, hi in [(0, 50), (50, 120), (120, 150)]:
+        batch = _docs(spark, lo, hi)
+        idx.update(batch, seq=lo)
+        got |= _pairs(idx.candidates(batch))
+    assert got == expected
+
+
+def test_verified_pairs_equal_batch_verify(spark, tmp_path):
+    full = _docs(spark, 0, 150)
+    expected = _pairs(minhash_lsh_pairs(full, "doc_id", threshold=0.5, **PARAMS))
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), **PARAMS)
+    got = set()
+    for lo, hi in [(0, 80), (80, 150)]:
+        batch = _docs(spark, lo, hi)
+        idx.update(batch, seq=lo)
+        got |= _pairs(idx.neardup_pairs(batch, corpus=full, threshold=0.5))
+    assert got == expected
+
+
+def test_replay_is_noop_and_update_rebands(spark, tmp_path):
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), **PARAMS)
+    batch = _docs(spark, 0, 20)
+    idx.update(batch, seq=1)
+    rows1 = sorted(map(tuple, idx.read().collect()))
+    assert len(rows1) == 20 * PARAMS["bands"]
+
+    # same batch, same seq: LWW tie favors the target — index unchanged
+    idx.update(batch, seq=1)
+    assert sorted(map(tuple, idx.read().collect())) == rows1
+
+    # doc 0 changes at a higher seq: its bands rows are REPLACED by key
+    changed = spark.createDataFrame([Row(doc_id=0, text="completely different words here now")])
+    idx.update(changed, seq=2)
+    rows2 = idx.read()
+    assert rows2.count() == 20 * PARAMS["bands"]  # still bands rows per doc
+    old0 = {t for t in rows1 if t[0] == 0}
+    new0 = {tuple(r) for r in rows2.filter(F.col("id") == 0).collect()}
+    assert new0 != old0 and len(new0) == PARAMS["bands"]
+
+    # stale replay of the ORIGINAL doc 0 at seq=1 must not resurrect it
+    idx.update(batch.filter(F.col("doc_id") == 0), seq=1)
+    assert {tuple(r) for r in idx.read().filter(F.col("id") == 0).collect()} == new0
+
+
+def test_delete_tombstones_doc(spark, tmp_path):
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), **PARAMS)
+    corpus = _docs(spark, 0, 120)
+    idx.update(corpus, seq=1)
+    probe = _docs(spark, 100, 101)  # near-dup of doc 0
+    assert (0, 100) in _pairs(idx.candidates(probe))
+
+    dele = spark.createDataFrame([(0, None, "D")], "doc_id long, text string, op string")
+    idx.update(dele, id_col="doc_id", op_col="op", seq=2)
+    assert idx.read().filter(F.col("id") == 0).count() == 0
+    assert (0, 100) not in _pairs(idx.candidates(probe))
+
+
+def test_compact_and_cow_mode_preserve_state(spark, tmp_path):
+    """MOR deltas compact down to the same live rows; cow mode produces the
+    identical index state per batch."""
+    mor = MinHashIndex(spark, str(tmp_path / "mor"), **PARAMS)
+    cow = MinHashIndex(spark, str(tmp_path / "cow"), **PARAMS)
+    for lo, hi, seq in [(0, 60, 1), (60, 120, 2)]:
+        batch = _docs(spark, lo, hi)
+        mor.update(batch, seq=seq, mode="mor")
+        cow.update(batch, seq=seq, mode="cow")
+    before = sorted(map(tuple, mor.read().collect()))
+    assert mor.table.snapshot().delta_files  # MOR actually deferred work
+    mor.compact()
+    assert not mor.table.snapshot().delta_files
+    assert sorted(map(tuple, mor.read().collect())) == before
+    assert sorted(map(tuple, cow.read().collect())) == before
+
+
+def test_reopen_validates_params(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    MinHashIndex(spark, root, **PARAMS)
+    reopened = MinHashIndex(spark, root, **PARAMS)  # ok, params match
+    assert reopened.bands == PARAMS["bands"]
+    with pytest.raises(ValueError, match="was built with"):
+        MinHashIndex(spark, root, n=5, num_hashes=16, bands=4)
