@@ -501,6 +501,29 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(corpus, queries, dim=dim, k=5, nlist=16, nprobe=4)
 
 
+def q_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained hyperplane-LSH embedding index
+    (operators/incremental_dedup.py:EmbeddingIndex): fold the embeddings
+    table through the index in two CDC batches, return the exact-cosine-
+    verified pairs the SECOND batch surfaces — per-batch cost is a bucket
+    join against the index, never a corpus re-bucketing. No SQL oracle
+    (the index maintains probabilistic LSH candidates); pytest gates exact
+    set-equality with the batch operator over any split."""
+    import tempfile
+
+    from plugin_singer_spark.operators.incremental_dedup import EmbeddingIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    root = tempfile.mkdtemp(prefix="emb_index_")
+    idx = EmbeddingIndex(spark, root, dim=dim, planes=6, tables=16)
+    cut = 0.7 * (emb.agg(F.max("vec_id")).first()[0] or 0)
+    b1, b2 = emb.filter(F.col("vec_id") <= cut), emb.filter(F.col("vec_id") > cut)
+    idx.update(b1, seq=1)
+    idx.update(b2, seq=2)
+    return idx.neardup_pairs(b2, corpus=emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs — the verify/oracle variant (cross join;
     the scale path is q_embedding_neardup_lsh)."""
@@ -816,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "incremental_embedding_neardup": q_incremental_embedding_neardup,
         "stream_map": q_stream_map,
         "record_validation": q_record_validation,
         "multimodal_features": q_multimodal_features,

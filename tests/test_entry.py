@@ -21,6 +21,7 @@ def test_oracle_keys_subset():
         "embedding_neardup_lsh",
         "dedup_clusters_lsh",  # LSH candidate graph — exact-pair variant is the oracle
         "incremental_neardup",  # index maintains banding candidates — batch-equivalence pytest is the gate
+        "incremental_embedding_neardup",  # same gate, embedding modality
     }
 
 

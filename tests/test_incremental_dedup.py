@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from plugin_singer_spark.operators.dedup import minhash_lsh_pairs
-from plugin_singer_spark.operators.incremental_dedup import MinHashIndex
+from plugin_singer_spark.operators.incremental_dedup import EmbeddingIndex, MinHashIndex
 
 PARAMS = dict(n=2, num_hashes=16, bands=8)
 
@@ -108,6 +108,65 @@ def test_compact_and_cow_mode_preserve_state(spark, tmp_path):
     assert not mor.table.snapshot().delta_files
     assert sorted(map(tuple, mor.read().collect())) == before
     assert sorted(map(tuple, cow.read().collect())) == before
+
+
+DIM = 16
+EPARAMS = dict(dim=DIM, planes=4, tables=4)
+
+
+def _vecs(spark, lo, hi):
+    # ids i and i+100 share a base direction with a small deterministic
+    # perturbation (planted near-dups); others point elsewhere
+    rows = []
+    for i in range(lo, hi):
+        base = i % 100
+        v = [float((base * 7 + d * 3) % 11 - 5) for d in range(DIM)]
+        if i >= 100:
+            v[-1] += 0.25
+        rows.append(Row(vec_id=i, embedding=v))
+    return spark.createDataFrame(rows)
+
+
+def test_embedding_index_equals_batch(spark, tmp_path):
+    """Folding any split of a vector corpus through the EmbeddingIndex
+    yields exactly the batch operator's verified pair set (same planes/
+    tables/threshold — both bucket with the same deterministic
+    hyperplanes)."""
+    from plugin_singer_spark.operators.similarity import embedding_neardup_pairs
+
+    full = _vecs(spark, 0, 150)
+    expected = _pairs(
+        embedding_neardup_pairs(
+            full, dim=DIM, threshold=0.98, planes=EPARAMS["planes"],
+            tables=EPARAMS["tables"], id_col="vec_id", vec_col="embedding",
+            corpus_count=150,
+        )
+    )
+    assert expected  # planted near-dups must collide
+
+    idx = EmbeddingIndex(spark, str(tmp_path / "eidx"), **EPARAMS)
+    got = set()
+    for lo, hi in [(0, 70), (70, 150)]:
+        batch = _vecs(spark, lo, hi)
+        idx.update(batch, seq=lo)
+        got |= _pairs(idx.neardup_pairs(batch, corpus=full, threshold=0.98))
+    assert got == expected
+
+
+def test_embedding_index_update_and_delete(spark, tmp_path):
+    idx = EmbeddingIndex(spark, str(tmp_path / "eidx"), **EPARAMS)
+    corpus = _vecs(spark, 0, 120)
+    idx.update(corpus, seq=1)
+    assert idx.read().count() == 120 * EPARAMS["tables"]
+    probe = _vecs(spark, 100, 101)  # near-dup of vec 0
+    assert (0, 100) in _pairs(idx.candidates(probe))
+
+    dele = spark.createDataFrame([(0, None, "D")], "vec_id long, embedding array<double>, op string")
+    idx.update(dele, op_col="op", seq=2)
+    assert idx.read().filter(F.col("id") == 0).count() == 0
+    assert (0, 100) not in _pairs(idx.candidates(probe))
+    with pytest.raises(ValueError, match="was built with"):
+        EmbeddingIndex(spark, str(tmp_path / "eidx"), dim=DIM, planes=6, tables=4)
 
 
 def test_reopen_validates_params(spark, tmp_path):
