@@ -347,12 +347,15 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the index maintains the probabilistic banding candidates); pytest
     gates exact set-equality with the batch operator over any split
     (tests/test_incremental_dedup.py)."""
+    import atexit
+    import shutil
     import tempfile
 
     from plugin_singer_spark.operators.incremental_dedup import MinHashIndex
 
     docs = _t(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="mh_index_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     idx = MinHashIndex(spark, root, n=3, num_hashes=16, bands=8)
     cut = 0.7 * (docs.agg(F.max("doc_id")).first()[0] or 0)
     b1, b2 = docs.filter(F.col("doc_id") <= cut), docs.filter(F.col("doc_id") > cut)
@@ -509,6 +512,8 @@ def q_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFra
     join against the index, never a corpus re-bucketing. No SQL oracle
     (the index maintains probabilistic LSH candidates); pytest gates exact
     set-equality with the batch operator over any split."""
+    import atexit
+    import shutil
     import tempfile
 
     from plugin_singer_spark.operators.incremental_dedup import EmbeddingIndex
@@ -516,6 +521,7 @@ def q_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFra
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     root = tempfile.mkdtemp(prefix="emb_index_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     idx = EmbeddingIndex(spark, root, dim=dim, planes=6, tables=16)
     cut = 0.7 * (emb.agg(F.max("vec_id")).first()[0] or 0)
     b1, b2 = emb.filter(F.col("vec_id") <= cut), emb.filter(F.col("vec_id") > cut)

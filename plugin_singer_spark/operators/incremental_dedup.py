@@ -119,8 +119,18 @@ class _BandedLakeIndex:
         value_col = value_col or self._VALUE_COL
         ops = F.upper(F.col(op_col)) if op_col else F.lit("I")
         seqc = F.col(seq_col).cast("long") if seq_col else F.lit(seq).cast("long")
-        meta = docs.select(F.col(id_col).alias("id"), seqc.alias("_seq"), ops.alias("_op"))
-        live = docs.filter(ops != "D") if op_col else docs
+        # in-batch LWW per id FIRST (engine primitive — map-side partial
+        # max_by): a batch carrying two versions of one doc must band only
+        # the surviving version. Banding rows then join meta 1:1 by id —
+        # without the pre-resolve that join cross-products versions×seqs
+        # and stale-version buckets could ride the newer seq into the MERGE.
+        from plugin_singer_spark.lake.merge import lww_dedup
+
+        docs = lww_dedup(
+            docs.withColumn("_seq", seqc).withColumn("_op", ops), [id_col], seq_col="_seq"
+        )
+        meta = docs.select(F.col(id_col).alias("id"), "_seq", "_op")
+        live = docs.filter(F.col("_op") != "D") if op_col else docs
         upserts = (
             self._banded(live, id_col, value_col)
             .join(meta, on="id")

@@ -2,6 +2,7 @@
 equivalence, idempotent replay, update/delete maintenance."""
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
 from plugin_singer_spark.operators.dedup import minhash_lsh_pairs
@@ -167,6 +168,58 @@ def test_embedding_index_update_and_delete(spark, tmp_path):
     assert (0, 100) not in _pairs(idx.candidates(probe))
     with pytest.raises(ValueError, match="was built with"):
         EmbeddingIndex(spark, str(tmp_path / "eidx"), dim=DIM, planes=6, tables=4)
+
+
+# one op = (doc_id, version, is_delete); versions give LWW something to do
+_ops_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 2), st.booleans()),
+    min_size=1, max_size=18,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_ops_strategy, cuts=st.lists(st.integers(0, 17), max_size=2))
+def test_index_converges_to_banding_of_lww_docs(spark, tmp_path_factory, ops, cuts):
+    """Any CDC schedule — upserts, re-sends, deletes, arbitrary batch
+    splits — leaves the index equal to the banding of the LWW-resolved
+    surviving documents (the batch operator applied to the final corpus)."""
+    from plugin_singer_spark.operators.dedup import banded_buckets
+
+    def text_of(doc, ver):
+        return " ".join(f"d{doc}v{ver}w{j}" for j in range(8))
+
+    # oracle: fold ops in sequence order driver-side
+    final: dict[int, tuple[int, str] | None] = {}
+    for seq, (doc, ver, is_del) in enumerate(ops):
+        final[doc] = None if is_del else (seq, text_of(doc, ver))
+
+    idx = MinHashIndex(
+        spark, str(tmp_path_factory.mktemp("conv") / "idx"), **PARAMS
+    )
+    bounds = sorted({0, *[min(c, len(ops)) for c in cuts], len(ops)})
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = ops[lo:hi]
+        if not chunk:
+            continue
+        batch = spark.createDataFrame(
+            [
+                (doc, None if is_del else text_of(doc, ver), lo + k, "D" if is_del else "I")
+                for k, (doc, ver, is_del) in enumerate(chunk)
+            ],
+            "doc_id long, text string, seq long, op string",
+        )
+        idx.update(batch, seq_col="seq", op_col="op")
+
+    survivors = [(d, t) for d, v in final.items() if v is not None for _, t in [v]]
+    got = sorted(map(tuple, idx.read().collect()))
+    if not survivors:
+        assert got == []
+        return
+    docs = spark.createDataFrame(survivors, "doc_id long, text string")
+    expected = sorted(
+        map(tuple, banded_buckets(docs, "doc_id", "text", **PARAMS).collect())
+    )
+    assert got == expected
 
 
 def test_reopen_validates_params(spark, tmp_path):
